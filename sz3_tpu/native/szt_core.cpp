@@ -1,0 +1,251 @@
+// C ABI for the szt native engine. Python binds this with ctypes
+// (sz3_tpu/runtime.py). All heavy host-side work lives behind these calls:
+// full payload compress/decompress (any algorithm, serial or chunked),
+// plus low-level Huffman/zstd entry points for the JAX device path.
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+#include <string>
+#include <vector>
+
+#include "szt/pipeline.hpp"
+
+using namespace szt;
+
+extern "C" {
+
+// Mirrors sz3_tpu.config.Config; field-for-field ctypes struct.
+struct SztConf {
+    uint64_t dims[4];
+    int32_t n_dims;
+    uint8_t cmprAlgo;
+    uint8_t errorBoundMode;
+    uint8_t dataType;
+    double absErrorBound;
+    double relErrorBound;
+    double psnrErrorBound;
+    double l2normErrorBound;
+    int32_t quantbinCnt;
+    int32_t blockSize;
+    uint8_t predDim;
+    uint8_t lorenzo, lorenzo2, regression, regression2, openmp;
+    uint8_t interpAlgo;
+    int32_t interpDirection;
+    int64_t interpAnchorStride;
+    double interpAlpha;
+    double interpBeta;
+    int32_t nthreads;  // chunked mode thread count; <=0 = hardware default
+    // dtype used for engine dispatch. Kept separate from `dataType` because
+    // the archived config byte is caller-controlled: the reference CLI leaves
+    // it at SZ_FLOAT even for double data (tools/sz3/sz3.cpp:196,278-290) and
+    // byte parity requires reproducing that.
+    uint8_t engineType;
+};
+
+}  // extern "C"
+
+namespace {
+
+Conf to_conf(const SztConf* c) {
+    Conf k;
+    k.dims.assign(c->dims, c->dims + c->n_dims);
+    k.cmprAlgo = c->cmprAlgo;
+    k.errorBoundMode = c->errorBoundMode;
+    k.dataType = c->dataType;
+    k.absErrorBound = c->absErrorBound;
+    k.relErrorBound = c->relErrorBound;
+    k.psnrErrorBound = c->psnrErrorBound;
+    k.l2normErrorBound = c->l2normErrorBound;
+    k.quantbinCnt = c->quantbinCnt;
+    k.blockSize = c->blockSize;
+    k.predDim = c->predDim;
+    k.lorenzo = c->lorenzo;
+    k.lorenzo2 = c->lorenzo2;
+    k.regression = c->regression;
+    k.regression2 = c->regression2;
+    k.openmp = c->openmp;
+    k.interpAlgo = c->interpAlgo;
+    k.interpDirection = c->interpDirection;
+    k.interpAnchorStride = c->interpAnchorStride;
+    k.interpAlpha = c->interpAlpha;
+    k.interpBeta = c->interpBeta;
+    return k;
+}
+
+void from_conf(const Conf& k, SztConf* c) {
+    c->n_dims = k.N();
+    for (int i = 0; i < k.N(); i++) c->dims[i] = k.dims[i];
+    c->cmprAlgo = k.cmprAlgo;
+    c->errorBoundMode = k.errorBoundMode;
+    c->dataType = k.dataType;
+    c->absErrorBound = k.absErrorBound;
+    c->relErrorBound = k.relErrorBound;
+    c->psnrErrorBound = k.psnrErrorBound;
+    c->l2normErrorBound = k.l2normErrorBound;
+    c->quantbinCnt = k.quantbinCnt;
+    c->blockSize = k.blockSize;
+    c->predDim = k.predDim;
+    c->lorenzo = k.lorenzo;
+    c->lorenzo2 = k.lorenzo2;
+    c->regression = k.regression;
+    c->regression2 = k.regression2;
+    c->openmp = k.openmp;
+    c->interpAlgo = k.interpAlgo;
+    c->interpDirection = k.interpDirection;
+    c->interpAnchorStride = k.interpAnchorStride;
+    c->interpAlpha = k.interpAlpha;
+    c->interpBeta = k.interpBeta;
+}
+
+uint8_t* to_malloc(const std::vector<uint8_t>& v, uint64_t* len) {
+    uint8_t* p = static_cast<uint8_t*>(std::malloc(v.size() ? v.size() : 1));
+    if (!p) throw std::bad_alloc();
+    std::memcpy(p, v.data(), v.size());
+    *len = v.size();
+    return p;
+}
+
+int fail(const std::exception& e, char* err, uint64_t errcap) {
+    if (err && errcap) {
+        size_t n = std::min(std::strlen(e.what()), size_t(errcap - 1));
+        std::memcpy(err, e.what(), n);
+        err[n] = 0;
+    }
+    return -1;
+}
+
+template <class T>
+std::vector<uint8_t> compress_typed(Conf& conf, const T* data, size_t cap, int nthreads) {
+    if (conf.openmp) {
+        return compress_chunked<T, 4>(conf, data, nthreads);
+    }
+    switch (conf.N()) {
+        case 1: return compress_dispatch<T, 1>(conf, data, cap);
+        case 2: return compress_dispatch<T, 2>(conf, data, cap);
+        case 3: return compress_dispatch<T, 3>(conf, data, cap);
+        case 4: return compress_dispatch<T, 4>(conf, data, cap);
+        default: throw std::runtime_error("unsupported dimensionality");
+    }
+}
+
+template <class T>
+void decompress_typed(const Conf& conf, const uint8_t* cmp, size_t len, T* out) {
+    if (conf.openmp) {
+        decompress_chunked<T, 4>(conf, cmp, len, out);
+        return;
+    }
+    switch (conf.N()) {
+        case 1: decompress_dispatch<T, 1>(conf, cmp, len, out); break;
+        case 2: decompress_dispatch<T, 2>(conf, cmp, len, out); break;
+        case 3: decompress_dispatch<T, 3>(conf, cmp, len, out); break;
+        case 4: decompress_dispatch<T, 4>(conf, cmp, len, out); break;
+        default: throw std::runtime_error("unsupported dimensionality");
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void szt_free(void* p) { std::free(p); }
+
+// dtype codes follow the archive dataType ids (SZ_FLOAT=0, SZ_DOUBLE=1,
+// SZ_INT32=7, SZ_INT64=9; reference utils/Config.hpp:27-36).
+int szt_compress(SztConf* conf, const void* data, uint64_t cap, uint8_t** out, uint64_t* out_len,
+                 char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        switch (conf->engineType) {
+            case 0: payload = compress_typed<float>(k, static_cast<const float*>(data), cap, conf->nthreads); break;
+            case 1: payload = compress_typed<double>(k, static_cast<const double*>(data), cap, conf->nthreads); break;
+            case 7: payload = compress_typed<int32_t>(k, static_cast<const int32_t*>(data), cap, conf->nthreads); break;
+            case 9: payload = compress_typed<int64_t>(k, static_cast<const int64_t*>(data), cap, conf->nthreads); break;
+            default: throw std::runtime_error("unsupported dtype");
+        }
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_decompress(const SztConf* conf, const uint8_t* cmp, uint64_t len, void* out, char* err,
+                   uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        switch (conf->engineType) {
+            case 0: decompress_typed<float>(k, cmp, len, static_cast<float*>(out)); break;
+            case 1: decompress_typed<double>(k, cmp, len, static_cast<double*>(out)); break;
+            case 7: decompress_typed<int32_t>(k, cmp, len, static_cast<int32_t*>(out)); break;
+            case 9: decompress_typed<int64_t>(k, cmp, len, static_cast<int64_t*>(out)); break;
+            default: throw std::runtime_error("unsupported dtype");
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// ---- low-level hooks (JAX device path + unit tests) -------------------------
+
+// [tree][count u64][bitstream]
+int szt_huff_encode(const int32_t* bins, uint64_t n, uint8_t** out, uint64_t* out_len, char* err,
+                    uint64_t errcap) {
+    try {
+        Huffman<int32_t> h;
+        h.build(bins, n);
+        Sink s;
+        h.save(s);
+        s.put<size_t>(size_t(n));
+        h.encode(bins, n, s);
+        *out = to_malloc(s.buf, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_huff_decode(const uint8_t* buf, uint64_t len, int32_t* out, uint64_t* out_n, char* err,
+                    uint64_t errcap) {
+    try {
+        Source s(buf, len);
+        Huffman<int32_t> h;
+        h.load(s);
+        size_t n = s.get<size_t>();
+        if (*out_n < n) throw std::runtime_error("decode output buffer too small");
+        h.decode(s, n, out);
+        *out_n = n;
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_zstd_compress(const uint8_t* src, uint64_t n, uint8_t** out, uint64_t* out_len, char* err,
+                      uint64_t errcap) {
+    try {
+        auto v = zstd_pack(src, n, ZSTD_compressBound(n) + sizeof(size_t));
+        *out = to_malloc(v, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_zstd_decompress(const uint8_t* src, uint64_t n, uint8_t** out, uint64_t* out_len,
+                        char* err, uint64_t errcap) {
+    try {
+        auto v = zstd_unpack(src, n);
+        *out = to_malloc(v, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_abi_version(void) { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,237 @@
+"""ctypes bindings to the szt native engine (see native/szt_core.cpp).
+
+The engine produces/consumes the archive *payload* — everything between the
+16-byte container header and the trailing Config — for every algorithm, in
+serial or chunked (OpenMP-equivalent) mode.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .config import ALGO, Config, DataType
+from .native.build import build as _build_native
+
+_ERRCAP = 1024
+
+_DTYPE_TO_NP = {
+    DataType.FLOAT: np.float32,
+    DataType.DOUBLE: np.float64,
+    DataType.INT32: np.int32,
+    DataType.INT64: np.int64,
+}
+_NP_TO_DTYPE = {np.dtype(v): k for k, v in _DTYPE_TO_NP.items()}
+
+
+class SztConfC(C.Structure):
+    _fields_ = [
+        ("dims", C.c_uint64 * 4),
+        ("n_dims", C.c_int32),
+        ("cmprAlgo", C.c_uint8),
+        ("errorBoundMode", C.c_uint8),
+        ("dataType", C.c_uint8),
+        ("absErrorBound", C.c_double),
+        ("relErrorBound", C.c_double),
+        ("psnrErrorBound", C.c_double),
+        ("l2normErrorBound", C.c_double),
+        ("quantbinCnt", C.c_int32),
+        ("blockSize", C.c_int32),
+        ("predDim", C.c_uint8),
+        ("lorenzo", C.c_uint8),
+        ("lorenzo2", C.c_uint8),
+        ("regression", C.c_uint8),
+        ("regression2", C.c_uint8),
+        ("openmp", C.c_uint8),
+        ("interpAlgo", C.c_uint8),
+        ("interpDirection", C.c_int32),
+        ("interpAnchorStride", C.c_int64),
+        ("interpAlpha", C.c_double),
+        ("interpBeta", C.c_double),
+        ("nthreads", C.c_int32),
+        # dtype for engine dispatch — separate from the archived dataType byte,
+        # which is caller-controlled (the reference CLI leaves it SZ_FLOAT even
+        # for doubles, tools/sz3/sz3.cpp:196,278-290)
+        ("engineType", C.c_uint8),
+    ]
+
+
+_lib: Optional[C.CDLL] = None
+
+
+def lib() -> C.CDLL:
+    global _lib
+    if _lib is None:
+        path = _build_native()
+        l = C.CDLL(str(path))
+        u8p = C.POINTER(C.c_uint8)
+        u64 = C.c_uint64
+        l.szt_compress.restype = C.c_int
+        l.szt_compress.argtypes = [C.POINTER(SztConfC), C.c_void_p, u64,
+                                   C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
+        l.szt_decompress.restype = C.c_int
+        l.szt_decompress.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_void_p,
+                                     C.c_char_p, u64]
+        l.szt_huff_encode.restype = C.c_int
+        l.szt_huff_encode.argtypes = [C.c_void_p, u64, C.POINTER(u8p), C.POINTER(u64),
+                                      C.c_char_p, u64]
+        l.szt_huff_decode.restype = C.c_int
+        l.szt_huff_decode.argtypes = [C.c_char_p, u64, C.c_void_p, C.POINTER(u64),
+                                      C.c_char_p, u64]
+        l.szt_zstd_compress.restype = C.c_int
+        l.szt_zstd_compress.argtypes = [C.c_char_p, u64, C.POINTER(u8p), C.POINTER(u64),
+                                        C.c_char_p, u64]
+        l.szt_zstd_decompress.restype = C.c_int
+        l.szt_zstd_decompress.argtypes = [C.c_char_p, u64, C.POINTER(u8p), C.POINTER(u64),
+                                          C.c_char_p, u64]
+        l.szt_free.restype = None
+        l.szt_free.argtypes = [C.c_void_p]
+        _lib = l
+    return _lib
+
+
+def conf_to_c(conf: Config, nthreads: int = 0, engine_dtype: Optional[DataType] = None) -> SztConfC:
+    c = SztConfC()
+    c.engineType = int(engine_dtype if engine_dtype is not None else conf.dataType)
+    for i, d in enumerate(conf.dims):
+        c.dims[i] = d
+    c.n_dims = conf.N
+    c.cmprAlgo = int(conf.cmprAlgo)
+    c.errorBoundMode = int(conf.errorBoundMode)
+    c.dataType = int(conf.dataType)
+    c.absErrorBound = conf.absErrorBound
+    c.relErrorBound = conf.relErrorBound
+    c.psnrErrorBound = conf.psnrErrorBound
+    c.l2normErrorBound = conf.l2normErrorBound
+    c.quantbinCnt = conf.quantbinCnt
+    c.blockSize = conf.blockSize
+    c.predDim = conf.predDim
+    c.lorenzo = conf.lorenzo
+    c.lorenzo2 = conf.lorenzo2
+    c.regression = conf.regression
+    c.regression2 = conf.regression2
+    c.openmp = conf.openmp
+    c.interpAlgo = int(conf.interpAlgo)
+    c.interpDirection = conf.interpDirection
+    c.interpAnchorStride = conf.interpAnchorStride
+    c.interpAlpha = conf.interpAlpha
+    c.interpBeta = conf.interpBeta
+    c.nthreads = nthreads
+    return c
+
+
+def conf_from_c(c: SztConfC, conf: Config) -> None:
+    """Fold engine-side config mutations (algo resolution, eb conversion,
+    tuner decisions) back into the Python Config."""
+    from .config import EB, INTERP_ALGO
+
+    conf.dims = tuple(c.dims[i] for i in range(c.n_dims))
+    conf.cmprAlgo = ALGO(c.cmprAlgo)
+    conf.errorBoundMode = EB(c.errorBoundMode)
+    conf.absErrorBound = c.absErrorBound
+    conf.relErrorBound = c.relErrorBound
+    conf.psnrErrorBound = c.psnrErrorBound
+    conf.l2normErrorBound = c.l2normErrorBound
+    conf.quantbinCnt = c.quantbinCnt
+    conf.blockSize = c.blockSize
+    conf.predDim = c.predDim
+    conf.lorenzo = bool(c.lorenzo)
+    conf.lorenzo2 = bool(c.lorenzo2)
+    conf.regression = bool(c.regression)
+    conf.regression2 = bool(c.regression2)
+    conf.interpAlgo = INTERP_ALGO(c.interpAlgo)
+    conf.interpDirection = c.interpDirection
+    conf.interpAlpha = c.interpAlpha
+    conf.interpBeta = c.interpBeta
+
+
+def _take(buf_p, n) -> bytes:
+    data = C.string_at(buf_p, n.value)
+    lib().szt_free(buf_p)
+    return data
+
+
+def np_dtype_id(arr: np.ndarray) -> DataType:
+    try:
+        return _NP_TO_DTYPE[arr.dtype]
+    except KeyError:
+        raise TypeError(f"unsupported dtype {arr.dtype}; supported: float32, float64, int32, int64")
+
+
+def np_dtype_of(dt: DataType):
+    return _DTYPE_TO_NP[dt]
+
+
+def compress_payload(conf: Config, data: np.ndarray, cap: int, nthreads: int = 0) -> bytes:
+    """Run the native dispatcher; mutates `conf` like the reference does."""
+    data = np.ascontiguousarray(data)
+    c = conf_to_c(conf, nthreads, engine_dtype=np_dtype_id(data))
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_compress(C.byref(c), data.ctypes.data_as(C.c_void_p), C.c_uint64(cap),
+                            C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_compress: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
+
+
+def decompress_payload(conf: Config, payload: bytes, dtype: Optional[DataType] = None) -> np.ndarray:
+    dt = dtype if dtype is not None else conf.dataType
+    c = conf_to_c(conf, engine_dtype=dt)
+    out = np.empty(conf.num, dtype=np_dtype_of(dt))
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_decompress(C.byref(c), payload, C.c_uint64(len(payload)),
+                              out.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_decompress: {err.value.decode()}")
+    return out.reshape(conf.dims)
+
+
+def huff_encode(bins: np.ndarray) -> bytes:
+    bins = np.ascontiguousarray(bins, dtype=np.int32)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_huff_encode(bins.ctypes.data_as(C.c_void_p), C.c_uint64(bins.size),
+                               C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_huff_encode: {err.value.decode()}")
+    return _take(out, out_len)
+
+
+def huff_decode(blob: bytes, max_count: int) -> np.ndarray:
+    out = np.empty(max_count, dtype=np.int32)
+    n = C.c_uint64(max_count)
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_huff_decode(blob, C.c_uint64(len(blob)),
+                               out.ctypes.data_as(C.c_void_p), C.byref(n), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_huff_decode: {err.value.decode()}")
+    return out[: n.value]
+
+
+def zstd_compress(data: bytes) -> bytes:
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_zstd_compress(data, C.c_uint64(len(data)), C.byref(out), C.byref(out_len),
+                                 err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_zstd_compress: {err.value.decode()}")
+    return _take(out, out_len)
+
+
+def zstd_decompress(blob: bytes) -> bytes:
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_zstd_decompress(blob, C.c_uint64(len(blob)), C.byref(out), C.byref(out_len),
+                                   err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_zstd_decompress: {err.value.decode()}")
+    return _take(out, out_len)

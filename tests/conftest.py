@@ -1,0 +1,42 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so
+multi-chip sharding logic is exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import json
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).resolve().parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def golden_manifest():
+    return json.loads((GOLDEN / "manifest.json").read_text())
+
+
+def synth_input(case: dict) -> np.ndarray:
+    """Re-synthesize the deterministic input for a golden case and verify it
+    matches the bytes the reference binary compressed."""
+    import sys
+    sys.path.insert(0, str(GOLDEN))
+    from generate import synth
+
+    shape = tuple(case["shape"])
+    dtype = np.dtype(case["dtype"])
+    kind = "noisy" if "noisy" in case["name"] else "smooth"
+    if dtype in (np.int32, np.int64):
+        arr = (synth(shape, np.float64, kind) * 1000).astype(dtype)
+    else:
+        arr = synth(shape, dtype.type, kind)
+    assert hashlib.sha256(arr.tobytes()).hexdigest() == case["dat_sha"], \
+        f"synthesized input drifted for {case['name']}"
+    return arr
