@@ -1,0 +1,83 @@
+"""JAX/TPU execution backend.
+
+Division of labor (see ARCHITECTURE.md): the device runs the numerically
+heavy multi-level prediction+quantization as dense vectorized passes; the
+native host engine handles stream ordering, Huffman and zstd. Payloads are
+byte-identical to the host engine's (the golden corpus asserts this), so the
+backend choice is purely an execution detail.
+
+Dispatcher semantics mirror the host path (reference SZDispatcher.hpp:13-76):
+eb-mode conversion, lossless mode for eb==0, lossy-ratio<3 zstd preference,
+buffer-too-small downgrade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import runtime
+from ..config import ALGO, Config, EB
+from ..stats import cal_abs_error_bound
+from ..ops.interp_fast import interp_decode_grid, interp_encode_bins_grid
+
+
+def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
+    if conf.interpAnchorStride < 0:
+        conf.interpAnchorStride = [4096, 128, 32, 16][conf.N - 1]
+    bins = interp_encode_bins_grid(
+        data,
+        interp_algo=int(conf.interpAlgo), direction=conf.interpDirection,
+        anchor_stride=conf.interpAnchorStride, alpha=conf.interpAlpha,
+        beta=conf.interpBeta, eb=conf.absErrorBound, quantbin_cnt=conf.quantbinCnt)
+    stream, unpred = runtime.interp_emit(conf, bins, data)
+    return runtime.interp_seal(conf, stream, unpred, cap)
+
+
+def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
+    stream, unpred = runtime.interp_open(conf, payload, dtype)
+    bins_grid, literal = runtime.interp_place(conf, stream, unpred, dtype)
+    return interp_decode_grid(
+        bins_grid, literal, dtype,
+        interp_algo=int(conf.interpAlgo), direction=conf.interpDirection,
+        anchor_stride=conf.interpAnchorStride, alpha=conf.interpAlpha,
+        beta=conf.interpBeta, eb=conf.absErrorBound, quantbin_cnt=conf.quantbinCnt)
+
+
+def compress_payload_jax(conf: Config, data: np.ndarray, cap: int) -> bytes:
+    """JAX-path equivalent of the native dispatcher."""
+    cal_abs_error_bound(conf, data)
+    if conf.absErrorBound == 0:
+        conf.cmprAlgo = ALGO.LOSSLESS
+    if conf.cmprAlgo == ALGO.INTERP_LORENZO:
+        runtime.tune_interp(conf, data)  # host-side sampling decision
+    if conf.cmprAlgo == ALGO.LOSSLESS:
+        return runtime.zstd_compress(data.tobytes())
+    if conf.cmprAlgo == ALGO.INTERP:
+        try:
+            payload = _interp_encode_payload(conf, data.copy(), cap)
+        except RuntimeError as e:
+            if "buffer too small" not in str(e):
+                raise
+            conf.cmprAlgo = ALGO.LOSSLESS
+            return runtime.zstd_compress(data.tobytes())
+    else:
+        # algorithms without a device path yet run on the host engine
+        return runtime.compress_payload(conf, data, cap)
+    # lossy ratio < 3 -> prefer plain zstd when smaller (SZDispatcher.hpp:61-74)
+    if data.nbytes / len(payload) < 3:
+        z = runtime.zstd_compress(data.tobytes())
+        if len(z) < len(payload) and len(z) <= cap:
+            conf.cmprAlgo = ALGO.LOSSLESS
+            return z
+    return payload
+
+
+def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarray:
+    dt = runtime.np_dtype_of(dtype if dtype is not None else conf.dataType)
+    if conf.cmprAlgo == ALGO.LOSSLESS:
+        raw = runtime.zstd_decompress(payload)
+        return np.frombuffer(raw, dtype=dt).reshape(conf.dims).copy()
+    if conf.cmprAlgo == ALGO.INTERP:
+        return _interp_decode_payload(conf, payload, dt).reshape(conf.dims)
+    return runtime.decompress_payload(conf, payload,
+                                      dtype=runtime.np_dtype_id(np.empty(0, dtype=dt)))

@@ -98,7 +98,7 @@ def decompress(blob: bytes, *, backend: str = "native",
         out = runtime.decompress_payload(conf, payload, dtype=dt)
     elif backend == "jax":
         from .algos.jax_backend import decompress_payload_jax
-        out = decompress_payload_jax(conf, payload)
+        out = decompress_payload_jax(conf, payload, dtype=dt).reshape(conf.dims)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return out, conf

@@ -1,0 +1,99 @@
+// Host-side bridge for the device (JAX/TPU) compute path.
+//
+// The device produces/consumes quant bins laid out on the data grid; the
+// archive wants them in the reference's traversal order with unpredictable
+// literals interleaved in that same order. These helpers do the order
+// conversion with a single data-independent walk (InterpCodec::traverse over
+// the int32 bins grid) plus the payload seal/open around the entropy stage —
+// so device-path archives are byte-identical to host-path archives.
+#ifndef SZT_BRIDGE_HPP
+#define SZT_BRIDGE_HPP
+
+#include "pipeline.hpp"
+
+namespace szt {
+
+template <class T, int N>
+InterpCodec<int32_t, N> make_walker(const Conf& conf) {
+    InterpCodec<int32_t, N> w;
+    for (int i = 0; i < N; i++) w.dims[i] = conf.dims[i];
+    w.interp_id = conf.interpAlgo;
+    w.direction = conf.interpDirection;
+    w.anchor_stride = size_t(conf.interpAnchorStride);
+    w.alpha = conf.interpAlpha;
+    w.beta = conf.interpBeta;
+    w.blocksize = 32;
+    return w;
+}
+
+// grid-order bins + original data -> stream-order bins + unpred literals
+template <class T, int N>
+void interp_emit(const Conf& conf, const int32_t* bins, const T* orig, int32_t* stream,
+                 std::vector<T>& unpred) {
+    auto w = make_walker<T, N>(conf);
+    int32_t* base = const_cast<int32_t*>(bins);
+    size_t k = 0;
+    w.traverse(
+        base,
+        [&](int32_t* d) {
+            stream[k++] = 0;
+            unpred.push_back(orig[d - base]);
+        },
+        [&](int32_t* d, int32_t) {
+            int32_t b = *d;
+            stream[k++] = b;
+            if (!b) unpred.push_back(orig[d - base]);
+        });
+}
+
+// stream-order bins + unpred literals -> grid-order bins + literal grid
+template <class T, int N>
+void interp_place(const Conf& conf, const int32_t* stream, const T* unpred, int32_t* bins_grid,
+                  T* literal_grid) {
+    auto w = make_walker<T, N>(conf);
+    size_t k = 0, j = 0;
+    w.traverse(
+        bins_grid,
+        [&](int32_t* d) {
+            *d = stream[k++];  // always 0 for anchors
+            literal_grid[d - bins_grid] = unpred[j++];
+        },
+        [&](int32_t* d, int32_t) {
+            int32_t b = stream[k++];
+            *d = b;
+            if (!b) literal_grid[d - bins_grid] = unpred[j++];
+        });
+}
+
+// stream + literals -> full payload bytes (identical to the host encoder's)
+template <class T, int N>
+std::vector<uint8_t> interp_seal(Conf& conf, const int32_t* stream, size_t n, const T* unpred,
+                                 size_t un, size_t cap) {
+    default_anchor_stride(conf);
+    auto codec = make_interp<T, N>(conf);
+    codec.resolve_params();  // clamp anchor_stride exactly like compress() would
+    codec.quant.unpred.assign(unpred, unpred + un);
+    std::vector<int32_t> bins(stream, stream + n);
+    return seal_payload<T>(codec, bins, cap);
+}
+
+// payload bytes -> stream + literals + effective params (written into conf:
+// interp fields, absErrorBound = archived eb, quantbinCnt = 2*radius)
+template <class T, int N>
+void interp_open(Conf& conf, const uint8_t* payload, size_t len, std::vector<int32_t>& stream,
+                 std::vector<T>& unpred) {
+    InterpCodec<T, N> codec;
+    for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+    open_payload(codec, payload, len, stream);
+    unpred = codec.quant.unpred;
+    conf.interpAlgo = uint8_t(codec.interp_id);
+    conf.interpDirection = codec.direction;
+    conf.interpAnchorStride = int64_t(codec.anchor_stride);
+    conf.interpAlpha = codec.alpha;
+    conf.interpBeta = codec.beta;
+    conf.absErrorBound = codec.quant.eb();
+    conf.quantbinCnt = codec.quant.radius() * 2;
+}
+
+}  // namespace szt
+#endif

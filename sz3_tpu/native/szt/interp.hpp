@@ -89,6 +89,27 @@ class InterpCodec {
         level_loop(out, eb, [&](T* d, T pred) { *d = quant.recover(pred, quant_in[qpos_++]); });
     }
 
+    // Visit every stream slot in archive order without touching the
+    // quantizer: on_anchor(ptr) for anchor-grid literals, on_point(ptr, pred)
+    // for quantized points. Instantiated over the int32 bins grid by the
+    // device-path bridge (emit/place): the traversal is data-independent, so
+    // walking the bins grid yields the exact reference stream order.
+    template <class FA, class FP>
+    void traverse(T* grid, FA&& on_anchor, FP&& on_point) {
+        init();
+        if (anchor_stride == 0) {
+            on_point(grid, T(0));
+        } else {
+            foreach_anchor(grid, on_anchor);
+            levels_--;
+        }
+        level_loop(grid, quant.eb(), on_point);
+    }
+
+    // Apply the init-time clamp of anchor_stride (disabled when every dim
+    // fits inside one anchor cell, reference :187-192) without traversing.
+    void resolve_params() { init(); }
+
     void save(Sink& s) const {
         s.put_n(dims.data(), N);
         s.put(blocksize);

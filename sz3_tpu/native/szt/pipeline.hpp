@@ -309,9 +309,11 @@ template <class T, int N>
 std::vector<uint8_t> compress_dispatch(Conf& conf, const T* data, size_t cap);
 
 // The sampling auto-tuner behind the default ALGO_INTERP_LORENZO
-// (reference SZAlgoInterp.hpp:122-286).
+// (reference SZAlgoInterp.hpp:122-286). Decision only: rewrites conf to
+// either ALGO_INTERP (with tuned interp params) or ALGO_LORENZO_REG (with
+// the tuned lorenzo config); the caller then runs that algorithm.
 template <class T, int N>
-std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, T* data, size_t cap) {
+void tune_interp_lorenzo(Conf& conf, const T* data) {
     cal_abs_error_bound(conf, data);
     default_anchor_stride(conf);
 
@@ -330,7 +332,7 @@ std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, T* data, size_t cap) {
         if (d < sbs) { to_tune = false; break; }
     if (!to_tune) {
         conf.cmprAlgo = uint8_t(Algo::INTERP);
-        return compress_interp<T, N>(conf, data, cap);
+        return;
     }
 
     std::array<size_t, N> dims;
@@ -344,7 +346,7 @@ std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, T* data, size_t cap) {
     size_t sampling_num = blocks.size() * per_block;
     if (sampling_num == 0 || sampling_num >= size_t(double(conf.num()) * 0.2)) {
         conf.cmprAlgo = uint8_t(Algo::INTERP);
-        return compress_interp<T, N>(conf, data, cap);
+        return;
     }
 
     double best_lorenzo = 0, best_interp = 0, ratio;
@@ -402,7 +404,7 @@ std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, T* data, size_t cap) {
     bool use_interp = !(best_lorenzo >= best_interp * 1.1 && best_lorenzo < 50 && best_interp < 50);
     if (use_interp) {
         conf.cmprAlgo = uint8_t(Algo::INTERP);
-        return compress_interp<T, N>(conf, data, cap);
+        return;
     }
     if (conf.relErrorBound < 1.01e-6 && best_lorenzo > 5 && lorenzo_conf.quantbinCnt != 16384) {
         int32_t saved = lorenzo_conf.quantbinCnt;
@@ -415,6 +417,12 @@ std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, T* data, size_t cap) {
     // (reference SZAlgoInterp.hpp:278 — the trial blockSize=5 does not ship)
     lorenzo_conf.set_dims(std::vector<size_t>(conf.dims.begin(), conf.dims.end()));
     conf = lorenzo_conf;
+}
+
+template <class T, int N>
+std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, T* data, size_t cap) {
+    tune_interp_lorenzo<T, N>(conf, data);
+    if (Algo(conf.cmprAlgo) == Algo::INTERP) return compress_interp<T, N>(conf, data, cap);
     return compress_lorenzo_reg<T, N>(conf, data, cap);
 }
 

@@ -9,6 +9,7 @@
 #include <string>
 #include <vector>
 
+#include "szt/bridge.hpp"
 #include "szt/pipeline.hpp"
 
 using namespace szt;
@@ -240,6 +241,150 @@ int szt_zstd_decompress(const uint8_t* src, uint64_t n, uint8_t** out, uint64_t*
     try {
         auto v = zstd_unpack(src, n);
         *out = to_malloc(v, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// ---- device (JAX) path bridge ------------------------------------------------
+
+#define SZT_DISPATCH_N(fn, T, ...)                                                    \
+    do {                                                                              \
+        switch (k.N()) {                                                              \
+            case 1: fn<T, 1>(__VA_ARGS__); break;                                     \
+            case 2: fn<T, 2>(__VA_ARGS__); break;                                     \
+            case 3: fn<T, 3>(__VA_ARGS__); break;                                     \
+            case 4: fn<T, 4>(__VA_ARGS__); break;                                     \
+            default: throw std::runtime_error("unsupported dimensionality");          \
+        }                                                                             \
+    } while (0)
+
+// grid bins + original data -> stream (caller buffer, num entries) + unpred
+// literal bytes (malloc'd)
+int szt_interp_emit(const SztConf* conf, const int32_t* bins, const void* orig, int32_t* stream,
+                    uint8_t** unpred_out, uint64_t* unpred_bytes, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        default_anchor_stride(k);
+        switch (conf->engineType) {
+            case 0: {
+                std::vector<float> up;
+                SZT_DISPATCH_N(interp_emit, float, k, bins, static_cast<const float*>(orig), stream, up);
+                std::vector<uint8_t> raw(reinterpret_cast<uint8_t*>(up.data()),
+                                         reinterpret_cast<uint8_t*>(up.data() + up.size()));
+                *unpred_out = to_malloc(raw, unpred_bytes);
+                break;
+            }
+            case 1: {
+                std::vector<double> up;
+                SZT_DISPATCH_N(interp_emit, double, k, bins, static_cast<const double*>(orig), stream, up);
+                std::vector<uint8_t> raw(reinterpret_cast<uint8_t*>(up.data()),
+                                         reinterpret_cast<uint8_t*>(up.data() + up.size()));
+                *unpred_out = to_malloc(raw, unpred_bytes);
+                break;
+            }
+            default: throw std::runtime_error("unsupported dtype for device path");
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_interp_place(const SztConf* conf, const int32_t* stream, const void* unpred,
+                     int32_t* bins_grid, void* literal_grid, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        switch (conf->engineType) {
+            case 0:
+                SZT_DISPATCH_N(interp_place, float, k, stream, static_cast<const float*>(unpred),
+                               bins_grid, static_cast<float*>(literal_grid));
+                break;
+            case 1:
+                SZT_DISPATCH_N(interp_place, double, k, stream, static_cast<const double*>(unpred),
+                               bins_grid, static_cast<double*>(literal_grid));
+                break;
+            default: throw std::runtime_error("unsupported dtype for device path");
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_interp_seal(SztConf* conf, const int32_t* stream, uint64_t n, const void* unpred,
+                    uint64_t unpred_n, uint64_t cap, uint8_t** out, uint64_t* out_len, char* err,
+                    uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        auto seal = [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            switch (k.N()) {
+                case 1: payload = interp_seal<T, 1>(k, stream, n, static_cast<const T*>(unpred), unpred_n, cap); break;
+                case 2: payload = interp_seal<T, 2>(k, stream, n, static_cast<const T*>(unpred), unpred_n, cap); break;
+                case 3: payload = interp_seal<T, 3>(k, stream, n, static_cast<const T*>(unpred), unpred_n, cap); break;
+                case 4: payload = interp_seal<T, 4>(k, stream, n, static_cast<const T*>(unpred), unpred_n, cap); break;
+                default: throw std::runtime_error("unsupported dimensionality");
+            }
+        };
+        if (conf->engineType == 0) seal(static_cast<float*>(nullptr));
+        else if (conf->engineType == 1) seal(static_cast<double*>(nullptr));
+        else throw std::runtime_error("unsupported dtype for device path");
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// payload -> stream (caller buffer, conf.num entries) + unpred bytes
+// (malloc'd); effective params written back into conf
+int szt_interp_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t* stream,
+                    uint8_t** unpred_out, uint64_t* unpred_bytes, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<int32_t> sv;
+        auto open = [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            std::vector<T> up;
+            switch (k.N()) {
+                case 1: interp_open<T, 1>(k, payload, len, sv, up); break;
+                case 2: interp_open<T, 2>(k, payload, len, sv, up); break;
+                case 3: interp_open<T, 3>(k, payload, len, sv, up); break;
+                case 4: interp_open<T, 4>(k, payload, len, sv, up); break;
+                default: throw std::runtime_error("unsupported dimensionality");
+            }
+            std::vector<uint8_t> raw(reinterpret_cast<uint8_t*>(up.data()),
+                                     reinterpret_cast<uint8_t*>(up.data() + up.size()));
+            *unpred_out = to_malloc(raw, unpred_bytes);
+        };
+        if (conf->engineType == 0) open(static_cast<float*>(nullptr));
+        else if (conf->engineType == 1) open(static_cast<double*>(nullptr));
+        else throw std::runtime_error("unsupported dtype for device path");
+        std::memcpy(stream, sv.data(), sv.size() * sizeof(int32_t));
+        from_conf(k, conf);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// run only the INTERP_LORENZO tuner decision; conf is rewritten to the chosen
+// algorithm + params (reference SZAlgoInterp.hpp:122-286)
+int szt_tune_interp(SztConf* conf, const void* data, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        switch (conf->engineType) {
+            case 0: SZT_DISPATCH_N(tune_interp_lorenzo, float, k, static_cast<const float*>(data)); break;
+            case 1: SZT_DISPATCH_N(tune_interp_lorenzo, double, k, static_cast<const double*>(data)); break;
+            case 7: SZT_DISPATCH_N(tune_interp_lorenzo, int32_t, k, static_cast<const int32_t*>(data)); break;
+            case 9: SZT_DISPATCH_N(tune_interp_lorenzo, int64_t, k, static_cast<const int64_t*>(data)); break;
+            default: throw std::runtime_error("unsupported dtype");
+        }
+        from_conf(k, conf);
         return 0;
     } catch (const std::exception& e) {
         return fail(e, err, errcap);

@@ -89,6 +89,20 @@ def lib() -> C.CDLL:
                                           C.c_char_p, u64]
         l.szt_free.restype = None
         l.szt_free.argtypes = [C.c_void_p]
+        l.szt_interp_emit.restype = C.c_int
+        l.szt_interp_emit.argtypes = [C.POINTER(SztConfC), C.c_void_p, C.c_void_p, C.c_void_p,
+                                      C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
+        l.szt_interp_place.restype = C.c_int
+        l.szt_interp_place.argtypes = [C.POINTER(SztConfC), C.c_void_p, C.c_void_p, C.c_void_p,
+                                       C.c_void_p, C.c_char_p, u64]
+        l.szt_interp_seal.restype = C.c_int
+        l.szt_interp_seal.argtypes = [C.POINTER(SztConfC), C.c_void_p, u64, C.c_void_p, u64, u64,
+                                      C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
+        l.szt_interp_open.restype = C.c_int
+        l.szt_interp_open.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_void_p,
+                                      C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
+        l.szt_tune_interp.restype = C.c_int
+        l.szt_tune_interp.argtypes = [C.POINTER(SztConfC), C.c_void_p, C.c_char_p, u64]
         _lib = l
     return _lib
 
@@ -144,6 +158,7 @@ def conf_from_c(c: SztConfC, conf: Config) -> None:
     conf.regression2 = bool(c.regression2)
     conf.interpAlgo = INTERP_ALGO(c.interpAlgo)
     conf.interpDirection = c.interpDirection
+    conf.interpAnchorStride = c.interpAnchorStride
     conf.interpAlpha = c.interpAlpha
     conf.interpBeta = c.interpBeta
 
@@ -213,6 +228,92 @@ def huff_decode(blob: bytes, max_count: int) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"szt_huff_decode: {err.value.decode()}")
     return out[: n.value]
+
+
+def interp_emit(conf: Config, bins_grid: np.ndarray, orig: np.ndarray):
+    """Grid-order bins + original data -> (stream int32, unpred literals)."""
+    dt = np_dtype_id(orig)
+    c = conf_to_c(conf, engine_dtype=dt)
+    bins_grid = np.ascontiguousarray(bins_grid, dtype=np.int32)
+    orig = np.ascontiguousarray(orig)
+    stream = np.empty(conf.num, dtype=np.int32)
+    out = C.POINTER(C.c_uint8)()
+    nbytes = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_interp_emit(C.byref(c), bins_grid.ctypes.data_as(C.c_void_p),
+                               orig.ctypes.data_as(C.c_void_p),
+                               stream.ctypes.data_as(C.c_void_p),
+                               C.byref(out), C.byref(nbytes), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_interp_emit: {err.value.decode()}")
+    unpred = np.frombuffer(_take(out, nbytes), dtype=orig.dtype)
+    return stream, unpred
+
+
+def interp_place(conf: Config, stream: np.ndarray, unpred: np.ndarray, dtype):
+    """Stream-order bins + literals -> (bins grid, literal grid)."""
+    dt = np_dtype_id(np.empty(0, dtype=dtype))
+    c = conf_to_c(conf, engine_dtype=dt)
+    stream = np.ascontiguousarray(stream, dtype=np.int32)
+    unpred = np.ascontiguousarray(unpred, dtype=dtype)
+    bins_grid = np.zeros(conf.dims, dtype=np.int32)
+    literal = np.zeros(conf.dims, dtype=dtype)
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_interp_place(C.byref(c), stream.ctypes.data_as(C.c_void_p),
+                                unpred.ctypes.data_as(C.c_void_p),
+                                bins_grid.ctypes.data_as(C.c_void_p),
+                                literal.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_interp_place: {err.value.decode()}")
+    return bins_grid, literal
+
+
+def interp_seal(conf: Config, stream: np.ndarray, unpred: np.ndarray, cap: int) -> bytes:
+    """Stream + literals -> archive payload (byte-identical to host path)."""
+    dt = np_dtype_id(unpred)
+    c = conf_to_c(conf, engine_dtype=dt)
+    stream = np.ascontiguousarray(stream, dtype=np.int32)
+    unpred = np.ascontiguousarray(unpred)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_interp_seal(C.byref(c), stream.ctypes.data_as(C.c_void_p),
+                               C.c_uint64(stream.size), unpred.ctypes.data_as(C.c_void_p),
+                               C.c_uint64(unpred.size), C.c_uint64(cap),
+                               C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_interp_seal: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
+
+
+def interp_open(conf: Config, payload: bytes, dtype):
+    """Payload -> (stream, unpred, conf updated with archived params)."""
+    dt = np_dtype_id(np.empty(0, dtype=dtype))
+    c = conf_to_c(conf, engine_dtype=dt)
+    stream = np.empty(conf.num, dtype=np.int32)
+    out = C.POINTER(C.c_uint8)()
+    nbytes = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_interp_open(C.byref(c), payload, C.c_uint64(len(payload)),
+                               stream.ctypes.data_as(C.c_void_p),
+                               C.byref(out), C.byref(nbytes), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_interp_open: {err.value.decode()}")
+    unpred = np.frombuffer(_take(out, nbytes), dtype=dtype)
+    conf_from_c(c, conf)
+    return stream, unpred
+
+
+def tune_interp(conf: Config, data: np.ndarray) -> None:
+    """Run the INTERP_LORENZO tuner decision; mutates conf."""
+    data = np.ascontiguousarray(data)
+    c = conf_to_c(conf, engine_dtype=np_dtype_id(data))
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_tune_interp(C.byref(c), data.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_tune_interp: {err.value.decode()}")
+    conf_from_c(c, conf)
 
 
 def zstd_compress(data: bytes) -> bytes:

