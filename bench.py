@@ -1,0 +1,146 @@
+"""Benchmark: encode+decode throughput vs the reference SZ3 binary.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": GB/s, "unit": "GB/s", "vs_baseline": ours/reference}
+
+Field: Nyx-like 256^3 float32 (multiscale smooth + turbulence), ABS eb 1e-3,
+default algorithm (INTERP_LORENZO tuner). Reference baseline = szcompressor/
+SZ3 binary's self-reported compress+decompress seconds on the same data (built
+on this host; skipped -> vs_baseline null). Supplementary numbers (device
+compute, sizes) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SIZE = int(os.environ.get("SZT_BENCH_SIZE", "256"))
+EB = 1e-3
+REPS = int(os.environ.get("SZT_BENCH_REPS", "3"))
+REF_BIN = os.environ.get("SZT_REF_SZ3", "/tmp/ref-build/tools/sz3/sz3")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def nyx_like(n: int) -> np.ndarray:
+    """Synthetic baryon-density-like field: multiscale waves + mild turbulence."""
+    rng = np.random.default_rng(42)
+    ax = np.linspace(0, 1, n, dtype=np.float64)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    f = (np.sin(4 * np.pi * X) * np.cos(6 * np.pi * Y) * np.sin(2 * np.pi * Z)
+         + 0.5 * np.sin(16 * np.pi * (X + Y)) + 0.25 * np.cos(32 * np.pi * (Y - Z)))
+    f += 0.05 * np.cumsum(rng.standard_normal((n, n, n)), axis=2) / np.sqrt(n)
+    return np.ascontiguousarray(np.exp(f), dtype=np.float32)
+
+
+def bench_reference(data: np.ndarray):
+    if not Path(REF_BIN).exists():
+        log(f"reference binary not found at {REF_BIN}; vs_baseline = null")
+        return None
+    dat, szf, outf = "/tmp/szt_bench.dat", "/tmp/szt_bench.sz", "/tmp/szt_bench.out"
+    data.tofile(dat)
+    dims = [str(s) for s in reversed(data.shape)]
+    enc_t, dec_t, size = [], [], None
+    for _ in range(REPS):
+        r = subprocess.run([REF_BIN, "-f", "-i", dat, "-z", szf, "-3", *dims,
+                            "-M", "ABS", str(EB)], capture_output=True, text=True)
+        m = re.search(r"compression time = ([0-9.eE+-]+)", r.stdout)
+        enc_t.append(float(m.group(1)))
+        r = subprocess.run([REF_BIN, "-f", "-z", szf, "-o", outf, "-3", *dims],
+                           capture_output=True, text=True)
+        m = re.search(r"decompression time = ([0-9.eE+-]+)", r.stdout)
+        dec_t.append(float(m.group(1)))
+        size = Path(szf).stat().st_size
+    return min(enc_t), min(dec_t), size
+
+
+def bench_native(data: np.ndarray):
+    import sz3_tpu as szt
+    conf = szt.Config(dims=data.shape, absErrorBound=EB)
+    blob = szt.compress(data, conf)  # warm-up (allocator, code paths)
+    szt.decompress(blob)
+    enc_t, dec_t = [], []
+    for _ in range(REPS):
+        t = time.time(); blob = szt.compress(data, szt.Config(dims=data.shape, absErrorBound=EB))
+        enc_t.append(time.time() - t)
+        t = time.time(); out, _ = szt.decompress(blob)
+        dec_t.append(time.time() - t)
+    err = float(np.abs(out.astype(np.float64) - data.astype(np.float64)).max())
+    assert err <= EB * 1.0000001, f"error bound violated: {err}"
+    return min(enc_t), min(dec_t), len(blob)
+
+
+def bench_device(data: np.ndarray):
+    """Pure device-compute throughput of the quantization pipeline (the part
+    that runs on the TPU; entropy/IO stages are host-side)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from sz3_tpu.ops.interp_fast import build_fast_plan, encode_grid_fast
+    except Exception as e:  # pragma: no cover
+        log("device bench skipped:", e)
+        return None
+    plan = build_fast_plan(data.shape, interp_algo=1, direction=0, anchor_stride=32,
+                           alpha=1.25, beta=2.0, eb=EB, quantbin_cnt=65536)
+
+    @jax.jit
+    def run(x, salt):
+        bins, b0, recon = encode_grid_fast(x + salt, plan)
+        return sum(jnp.sum(b.astype(jnp.int64)) for b in bins), jnp.sum(recon)
+
+    xj = jax.device_put(jnp.asarray(data))
+    float(np.asarray(run(xj, 0.0)[1]))  # compile+warm
+    ts = []
+    for i in range(REPS):
+        t = time.time()
+        float(np.asarray(run(xj, 1e-12 * (i + 1))[1]))  # salt defeats caching
+        ts.append(time.time() - t)
+    return min(ts)
+
+
+def main():
+    data = nyx_like(SIZE)
+    nbytes = data.nbytes
+    log(f"field: {data.shape} f32 ({nbytes/1e6:.0f} MB), ABS eb={EB}")
+
+    ours = bench_native(data)
+    enc, dec, size = ours
+    gbs = 2 * nbytes / (enc + dec) / 1e9
+    log(f"sz3-tpu native: enc {enc:.2f}s dec {dec:.2f}s size {size} "
+        f"(ratio {nbytes/size:.2f}) -> {gbs:.3f} GB/s")
+
+    ref = bench_reference(data)
+    vs = None
+    if ref:
+        renc, rdec, rsize = ref
+        rgbs = 2 * nbytes / (renc + rdec) / 1e9
+        vs = gbs / rgbs
+        log(f"reference sz3: enc {renc:.2f}s dec {rdec:.2f}s size {rsize} -> {rgbs:.3f} GB/s")
+        log(f"size parity: ours {size} vs ref {rsize} ({'EQUAL' if size == rsize else 'DIFFERENT'})")
+
+    dev = bench_device(data)
+    if dev is not None:
+        log(f"TPU device quantization pipeline: {dev*1e3:.1f} ms -> {nbytes/dev/1e9:.2f} GB/s/chip")
+
+    print(json.dumps({
+        "metric": f"encode+decode GB/s ({SIZE}^3 f32, ABS {EB}, default algo)",
+        "value": round(gbs, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,8 +43,14 @@ def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
         beta=conf.interpBeta, eb=conf.absErrorBound, quantbin_cnt=conf.quantbinCnt)
 
 
-def compress_payload_jax(conf: Config, data: np.ndarray, cap: int) -> bytes:
+def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
+                         nthreads: int = 0) -> bytes:
     """JAX-path equivalent of the native dispatcher."""
+    if conf.openmp:
+        from ..parallel.chunked import compress_chunked_jax
+        import os
+        n = nthreads or min(os.cpu_count() or 1, data.shape[0])
+        return compress_chunked_jax(conf, data, n)
     cal_abs_error_bound(conf, data)
     if conf.absErrorBound == 0:
         conf.cmprAlgo = ALGO.LOSSLESS
@@ -74,6 +80,9 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int) -> bytes:
 
 def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarray:
     dt = runtime.np_dtype_of(dtype if dtype is not None else conf.dataType)
+    if conf.openmp:
+        from ..parallel.chunked import decompress_chunked_jax
+        return decompress_chunked_jax(conf, payload, dt)
     if conf.cmprAlgo == ALGO.LOSSLESS:
         raw = runtime.zstd_decompress(payload)
         return np.frombuffer(raw, dtype=dt).reshape(conf.dims).copy()

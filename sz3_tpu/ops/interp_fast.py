@@ -46,7 +46,8 @@ def _grid_count(D: int, step: int) -> int:
 @dataclass(frozen=True)
 class FastPass:
     level: int
-    eb: float
+    eb: float                 # resolved level eb (static-eb path)
+    eb_ratio: float           # base_eb / eb_ratio == eb (traced-eb path)
     dd: int
     kind: np.ndarray            # per odd position j (len P), predictor kind
     src_steps: Tuple[int, ...]  # element strides of the coarse array per axis
@@ -97,6 +98,12 @@ def build_fast_plan(dims: Tuple[int, ...], *, interp_algo: int, direction: int,
         s = 1 << (level - 1)
         ibs = blocksize * s
         cur_eb = level_eb(eb, level, alpha, beta)
+        if alpha < 0:
+            eb_ratio = 2.0 if level >= 3 else 1.0
+        elif alpha >= 1:
+            eb_ratio = min(alpha ** (level - 1), beta)
+        else:
+            eb_ratio = 1.0
         for pi, dd in enumerate(seq):
             D = dims[dd]
             g = _grid_count(D, s)
@@ -118,7 +125,7 @@ def build_fast_plan(dims: Tuple[int, ...], *, interp_algo: int, direction: int,
             cur_out[dd] = s
             shape_out = tuple(_grid_count(dims[a], cur_out[a]) for a in range(N))
             has_stage2 = (not old_api) and (not cubic) and bool((kind == K_LIN1_NEW).any())
-            passes.append(FastPass(level=level, eb=cur_eb, dd=dd, kind=kind,
+            passes.append(FastPass(level=level, eb=cur_eb, eb_ratio=eb_ratio, dd=dd, kind=kind,
                                    src_steps=src_steps, out_steps=tuple(cur_out),
                                    cur_start=cur_start, cur_steps=cur_steps,
                                    shape_in=shape_in, shape_out=shape_out, p=P,
@@ -198,7 +205,9 @@ def _stage2_fix(spec: FastPass, a, pred, recon_s1):
     return jnp.where(kind == K_LIN1_NEW, lin1, pred)
 
 
-def encode_pass_fast(x, coarse, spec: FastPass, radius: int):
+def encode_pass_fast(x, coarse, spec: FastPass, radius: int, eb=None):
+    if eb is None:
+        eb = spec.eb
     pad = [(2, 2) if i == spec.dd else (0, 0) for i in range(coarse.ndim)]
     apad = jnp.pad(coarse, pad, mode="edge")
     m2, m1, z0, p1, p2 = (_shift(apad, d, spec.dd, spec.p) for d in (-2, -1, 0, 1, 2))
@@ -207,10 +216,10 @@ def encode_pass_fast(x, coarse, spec: FastPass, radius: int):
     counts = list(spec.shape_in)
     counts[spec.dd] = spec.p
     cur = _strided_slice(x, spec.cur_start, spec.cur_steps, tuple(counts))
-    bins, recon = quantize(cur, pred, spec.eb, radius)
+    bins, recon = quantize(cur, pred, eb, radius)
     if spec.has_stage2:
         pred2 = _stage2_fix(spec, z0, pred, recon)
-        bins2, recon2 = quantize(cur, pred2, spec.eb, radius)
+        bins2, recon2 = quantize(cur, pred2, eb, radius)
         m = kind == K_LIN1_NEW
         bins = jnp.where(m, bins2, bins)
         recon = jnp.where(m, recon2, recon)
@@ -218,32 +227,40 @@ def encode_pass_fast(x, coarse, spec: FastPass, radius: int):
     return out, bins
 
 
-def decode_pass_fast(coarse, bins, literal, spec: FastPass, radius: int):
+def decode_pass_fast(coarse, bins, literal, spec: FastPass, radius: int, eb=None):
+    if eb is None:
+        eb = spec.eb
     pad = [(2, 2) if i == spec.dd else (0, 0) for i in range(coarse.ndim)]
     apad = jnp.pad(coarse, pad, mode="edge")
     m2, m1, z0, p1, p2 = (_shift(apad, d, spec.dd, spec.p) for d in (-2, -1, 0, 1, 2))
     kind = _kindvec(spec, coarse.ndim)
     pred = _predict_kinds(kind, m2, m1, z0, p1, p2)
-    rec = recover(pred, bins, literal, spec.eb, radius)
+    rec = recover(pred, bins, literal, eb, radius)
     if spec.has_stage2:
         pred2 = _stage2_fix(spec, z0, pred, rec)
-        rec2 = recover(pred2, bins, literal, spec.eb, radius)
+        rec2 = recover(pred2, bins, literal, eb, radius)
         rec = jnp.where(kind == K_LIN1_NEW, rec2, rec)
     return _interleave(coarse, rec, spec.dd, spec.shape_out[spec.dd])
 
 
-def encode_grid_fast(x, plan: FastPlan):
-    """original grid -> (list of per-pass bins, first-point bin or None)."""
+def encode_grid_fast(x, plan: FastPlan, eb=None):
+    """original grid -> (list of per-pass bins, first-point bin or None).
+
+    `eb` (traced f64 scalar) overrides the plan's static base eb — used by
+    the sharded path where REL-style bounds derive from collectives.
+    """
     counts = tuple(_grid_count(d, s) for d, s in zip(plan.dims, plan.init_steps))
     coarse = _strided_slice(x, (0,) * x.ndim, plan.init_steps, counts)
     bins_out = []
     b0 = None
+    base_eb = plan.base_eb if eb is None else eb
     if plan.anchor_stride == 0:
         i0 = (0,) * x.ndim
-        b0, r0 = quantize(x[i0], jnp.zeros((), x.dtype), plan.base_eb, plan.radius)
+        b0, r0 = quantize(x[i0], jnp.zeros((), x.dtype), base_eb, plan.radius)
         coarse = coarse.at[i0].set(r0)
     for spec in plan.passes:
-        coarse, b = encode_pass_fast(x, coarse, spec, plan.radius)
+        pass_eb = None if eb is None else eb / spec.eb_ratio
+        coarse, b = encode_pass_fast(x, coarse, spec, plan.radius, eb=pass_eb)
         bins_out.append(b)
     return bins_out, b0, coarse
 
