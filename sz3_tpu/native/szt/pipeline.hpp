@@ -17,12 +17,15 @@
 #include <thread>
 #include <vector>
 
+#include "biomd.hpp"
 #include "blockwise.hpp"
 #include "common.hpp"
 #include "conf.hpp"
 #include "huffman.hpp"
+#include "huffman_v2.hpp"
 #include "interp.hpp"
 #include "quantizer.hpp"
+#include "xtc.hpp"
 #include "zstd_wrap.hpp"
 
 namespace szt {
@@ -159,6 +162,96 @@ void decompress_lorenzo_reg(const Conf& conf, const uint8_t* cmp, size_t len, T*
     std::vector<int32_t> bins;
     open_payload(codec, cmp, len, bins);
     codec.decompress(bins.data(), out);
+}
+
+// ---- BioMD algorithms (reference api/impl/SZAlgoBioMD.hpp) -------------------
+
+// ALGO_BIOMD: BioMD decomposition -> HuffmanEncoderV2 -> zstd. stateNum for
+// the encoder is the quantizer's out-range top = quantbinCnt
+// (SZGenericCompressor.hpp:44 with LinearQuantizer radius quantbinCnt/2).
+template <class T, int N>
+std::vector<uint8_t> compress_biomd(Conf& conf, T* data, size_t cap) {
+    if constexpr (N > 3) {
+        throw std::invalid_argument("BioMD only supports 1D, 2D or 3D data");
+    } else {
+        BioMDCodec<T, N> codec;
+        for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+        codec.quant = LinearQuantizer<T>(conf.absErrorBound, conf.quantbinCnt / 2);
+        std::vector<int32_t> bins;
+        codec.compress(data, bins);
+        HuffmanV2<int32_t> huff;
+        huff.build(bins.data(), bins.size(), conf.quantbinCnt);
+        Sink inner;
+        inner.reserve(bins.size() / 2 + 4096);
+        codec.save(inner);
+        huff.save(inner);
+        inner.put<size_t>(bins.size());
+        huff.encode(bins.data(), bins.size(), inner);
+        return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+    }
+}
+
+template <class T, int N>
+void decompress_biomd(const Conf& conf, const uint8_t* cmp, size_t len, T* out) {
+    if constexpr (N > 3) {
+        throw std::invalid_argument("BioMD only supports 1D, 2D or 3D data");
+    } else {
+        auto raw = zstd_unpack(cmp, len);
+        Source src(raw.data(), raw.size());
+        BioMDCodec<T, N> codec;
+        for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+        codec.load(src);
+        HuffmanV2<int32_t> huff;
+        huff.load(src);
+        size_t count = src.template get<size_t>();
+        std::vector<int32_t> bins(count);
+        huff.decode(src, count, bins.data());
+        codec.decompress(bins, out);
+    }
+}
+
+// ALGO_BIOMDXTC: Xtc decomposition -> XtcBasedEncoder -> bypass (no zstd).
+// Payload layout [decomp][encoder save][count u64][xtc stream] per
+// SZGenericCompressor with Lossless_bypass (SZAlgoBioMD.hpp:46-48).
+template <class T, int N>
+std::vector<uint8_t> compress_biomdxtc(Conf& conf, T* data, size_t cap) {
+    if constexpr (N > 3) {
+        throw std::invalid_argument("BioMDXtc only supports 1D, 2D or 3D data");
+    } else {
+        BioMDXtcCodec<T, N> codec;
+        for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+        codec.quant = LinearQuantizer<T>(conf.absErrorBound, kXtcRadius, /*strict=*/false);
+        std::vector<int32_t> bins;
+        codec.compress(data, bins);
+        XtcCoder coder;
+        coder.preprocess(bins.data(), bins.size());
+        Sink inner;
+        inner.reserve(bins.size() + 4096);
+        codec.save(inner);
+        coder.save(inner);
+        inner.put<size_t>(bins.size());
+        coder.encode(bins.data(), bins.size(), inner);
+        if (inner.buf.size() > cap) throw buffer_too_small();
+        return std::move(inner.buf);
+    }
+}
+
+template <class T, int N>
+void decompress_biomdxtc(const Conf& conf, const uint8_t* cmp, size_t len, T* out) {
+    if constexpr (N > 3) {
+        throw std::invalid_argument("BioMDXtc only supports 1D, 2D or 3D data");
+    } else {
+        Source src(cmp, len);
+        BioMDXtcCodec<T, N> codec;
+        for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+        codec.load(src);
+        XtcCoder coder;
+        coder.load(src);
+        size_t count = src.template get<size_t>();
+        std::vector<int32_t> bins(count);
+        coder.decode(src, count, bins.data());
+        codec.decompress(bins, out);
+    }
 }
 
 // ---- INTERP_LORENZO auto-tuner ----------------------------------------------
@@ -443,6 +536,10 @@ std::vector<uint8_t> compress_dispatch(Conf& conf, const T* data, size_t cap) {
                 case Algo::INTERP: out = compress_interp<T, N>(conf, copy.data(), cap); break;
                 case Algo::INTERP_LORENZO: out = compress_interp_lorenzo<T, N>(conf, copy.data(), cap); break;
                 case Algo::NOPRED: out = compress_nopred<T, N>(conf, copy.data(), cap); break;
+                // BioMD paths return directly — no lossless-ratio fallback
+                // (reference SZDispatcher.hpp:36-39)
+                case Algo::BIOMD: return compress_biomd<T, N>(conf, copy.data(), cap);
+                case Algo::BIOMDXTC: return compress_biomdxtc<T, N>(conf, copy.data(), cap);
                 default: throw std::runtime_error("unknown compression algorithm");
             }
         } catch (buffer_too_small&) {
@@ -478,6 +575,8 @@ void decompress_dispatch(const Conf& conf, const uint8_t* cmp, size_t len, T* ou
         case Algo::LORENZO_REG: decompress_lorenzo_reg<T, N>(conf, cmp, len, out); break;
         case Algo::INTERP: decompress_interp<T, N>(conf, cmp, len, out); break;
         case Algo::NOPRED: decompress_nopred<T, N>(conf, cmp, len, out); break;
+        case Algo::BIOMD: decompress_biomd<T, N>(conf, cmp, len, out); break;
+        case Algo::BIOMDXTC: decompress_biomdxtc<T, N>(conf, cmp, len, out); break;
         default: throw std::runtime_error("unknown compression algorithm");
     }
 }

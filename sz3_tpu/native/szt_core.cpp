@@ -10,6 +10,7 @@
 #include <vector>
 
 #include "szt/bridge.hpp"
+#include "szt/container.hpp"
 #include "szt/pipeline.hpp"
 
 using namespace szt;
@@ -392,5 +393,124 @@ int szt_tune_interp(SztConf* conf, const void* data, char* err, uint64_t errcap)
 }
 
 int szt_abi_version(void) { return 1; }
+
+// ---- SZ2-compatible C API (reference tools/sz3c/{include/sz3c.h,src/sz3c.cpp})
+
+// SZ2 errorbound-mode codes (sz3c.h:10-16) — NOT the SZ3 EB enum
+enum { kSz2Abs = 0, kSz2Rel = 1, kSz2AbsAndRel = 2, kSz2AbsOrRel = 3, kSz2Psnr = 4, kSz2Norm = 5 };
+// SZ2 dtype codes (sz3c.h:25-36)
+enum { kSz2Float = 0, kSz2Double = 1 };
+
+// Drop-in for the reference `SZ_compress_args` (sz3c.cpp:11-62): full
+// self-describing archive in a malloc'd buffer. r5 is folded into r4
+// (sz3c.cpp:24); zero-valued trailing dims select the rank.
+unsigned char* SZ_compress_args(int dataType, void* data, size_t* outSize, int errBoundMode,
+                                double absErrBound, double relBoundRatio, double pwrBoundRatio,
+                                size_t r5, size_t r4, size_t r3, size_t r2, size_t r1) {
+    (void)pwrBoundRatio;  // point-wise relative is unsupported, like the reference
+    try {
+        Conf conf;
+        std::vector<size_t> dims;
+        if (r2 == 0) dims = {r1};
+        else if (r3 == 0) dims = {r2, r1};
+        else if (r4 == 0) dims = {r3, r2, r1};
+        else if (r5 == 0) dims = {r4, r3, r2, r1};
+        else dims = {r5 * r4, r3, r2, r1};
+        conf.set_dims(dims);
+        conf.absErrorBound = absErrBound;
+        conf.relErrorBound = relBoundRatio;
+        switch (errBoundMode) {
+            case kSz2Abs: conf.errorBoundMode = uint8_t(EbMode::ABS); break;
+            case kSz2Rel: conf.errorBoundMode = uint8_t(EbMode::REL); break;
+            case kSz2AbsAndRel: conf.errorBoundMode = uint8_t(EbMode::ABS_AND_REL); break;
+            case kSz2AbsOrRel: conf.errorBoundMode = uint8_t(EbMode::ABS_OR_REL); break;
+            default: return nullptr;  // unsupported SZ2 mode
+        }
+        std::vector<uint8_t> blob;
+        if (dataType == kSz2Float) {
+            blob = container_compress<float>(conf, static_cast<const float*>(data));
+        } else if (dataType == kSz2Double) {
+            blob = container_compress<double>(conf, static_cast<const double*>(data));
+        } else {
+            return nullptr;
+        }
+        auto* out = static_cast<unsigned char*>(std::malloc(blob.size()));
+        if (!out) return nullptr;
+        std::memcpy(out, blob.data(), blob.size());
+        *outSize = blob.size();
+        return out;
+    } catch (...) {
+        return nullptr;
+    }
+}
+
+// Drop-in for the reference `SZ_decompress` (sz3c.cpp:64-93).
+void* SZ_decompress(int dataType, unsigned char* bytes, size_t byteLength, size_t r5, size_t r4,
+                    size_t r3, size_t r2, size_t r1) {
+    try {
+        size_t n = r1;
+        if (r2) n *= r2;
+        if (r3) n *= r3;
+        if (r4) n *= r4;
+        if (r5) n *= r5;
+        Conf conf;
+        if (dataType == kSz2Float) {
+            auto* dec = static_cast<float*>(std::malloc(n * sizeof(float)));
+            if (!dec) return nullptr;
+            container_decompress<float>(bytes, byteLength, conf, dec);
+            return dec;
+        } else if (dataType == kSz2Double) {
+            auto* dec = static_cast<double*>(std::malloc(n * sizeof(double)));
+            if (!dec) return nullptr;
+            container_decompress<double>(bytes, byteLength, conf, dec);
+            return dec;
+        }
+        return nullptr;
+    } catch (...) {
+        return nullptr;
+    }
+}
+
+void free_buf(void* p) { std::free(p); }
+
+// ---- full-container entry points (native CLI / C callers) --------------------
+
+int szt_container_compress(SztConf* conf, const void* data, uint8_t** out, uint64_t* out_len,
+                           char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> blob;
+        switch (conf->engineType) {
+            case 0: blob = container_compress<float>(k, static_cast<const float*>(data), conf->nthreads); break;
+            case 1: blob = container_compress<double>(k, static_cast<const double*>(data), conf->nthreads); break;
+            case 7: blob = container_compress<int32_t>(k, static_cast<const int32_t*>(data), conf->nthreads); break;
+            case 9: blob = container_compress<int64_t>(k, static_cast<const int64_t*>(data), conf->nthreads); break;
+            default: throw std::runtime_error("unsupported dtype");
+        }
+        from_conf(k, conf);
+        *out = to_malloc(blob, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_container_decompress(SztConf* conf, const uint8_t* blob, uint64_t len, void* out,
+                             char* err, uint64_t errcap) {
+    try {
+        Conf k;
+        switch (conf->engineType) {
+            case 0: container_decompress<float>(blob, len, k, static_cast<float*>(out)); break;
+            case 1: container_decompress<double>(blob, len, k, static_cast<double*>(out)); break;
+            case 7: container_decompress<int32_t>(blob, len, k, static_cast<int32_t*>(out)); break;
+            case 9: container_decompress<int64_t>(blob, len, k, static_cast<int64_t*>(out)); break;
+            default: throw std::runtime_error("unsupported dtype");
+        }
+        from_conf(k, conf);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
 
 }  // extern "C"

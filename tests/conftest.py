@@ -38,11 +38,11 @@ def synth_input(case: dict) -> np.ndarray:
     matches the bytes the reference binary compressed."""
     import sys
     sys.path.insert(0, str(GOLDEN))
-    from generate import synth
+    from generate import kind_for, synth
 
     shape = tuple(case["shape"])
     dtype = np.dtype(case["dtype"])
-    kind = "noisy" if "noisy" in case["name"] else "smooth"
+    kind = kind_for(case["name"])
     if dtype in (np.int32, np.int64):
         arr = (synth(shape, np.float64, kind) * 1000).astype(dtype)
     else:

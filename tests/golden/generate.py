@@ -33,6 +33,24 @@ def synth(shape, dtype=np.float32, kind="smooth", seed=7):
         f += 0.02 * rng.standard_normal(shape)
     elif kind == "noisy":
         f += 0.5 * rng.standard_normal(shape)
+    elif kind.startswith("traj"):
+        # MD-trajectory-like data for the BioMD algorithms: water-model
+        # triplets (O-H-H sites) random-walking over time. Shape is
+        # (frames, atoms, 3) or (atoms, 3). kind "traj_fill" pads the last
+        # quarter of the frames with a constant fill value (the XTC/BioMD
+        # fill-frame elision path).
+        assert shape[-1] == 3
+        atoms = shape[-2]
+        base = rng.uniform(-5, 5, (atoms // 3 + 1, 1, 3)).repeat(3, axis=1)
+        base = (base + rng.normal(0, 0.05, (atoms // 3 + 1, 3, 3))).reshape(-1, 3)[:atoms]
+        if len(shape) == 2:
+            f = base
+        else:
+            steps = rng.normal(0, 0.01, (shape[0], atoms, 3))
+            f = base[None] + np.cumsum(steps, axis=0)
+            if kind == "traj_fill":
+                f[-(shape[0] // 4):] = -1.0
+        return np.ascontiguousarray(f, dtype=dtype)
     return np.ascontiguousarray(f, dtype=dtype)
 
 
@@ -69,9 +87,29 @@ CASES = {
     "f32_1d_small":         ((4000,), np.float32, ["-M", "ABS", "1e-3"], None, {}),
     "f32_3d_omp4":          ((64, 48, 48), np.float32, ["-M", "ABS", "1e-3"],
                              "[GlobalSettings]\nOpenMP = true\n", {"OMP_NUM_THREADS": "4"}),
+    "f32_3d_biomd":         ((24, 333, 3), np.float32, ["-M", "ABS", "1e-3"],
+                             "[GlobalSettings]\nCmprAlgo = ALGO_BIOMD\n", {}),
+    "f32_3d_biomd_fill":    ((32, 120, 3), np.float32, ["-M", "ABS", "1e-3"],
+                             "[GlobalSettings]\nCmprAlgo = ALGO_BIOMD\n", {}),
+    "f32_2d_biomd":         ((2000, 3), np.float32, ["-M", "ABS", "1e-3"],
+                             "[GlobalSettings]\nCmprAlgo = ALGO_BIOMD\n", {}),
+    "f64_3d_biomd":         ((24, 120, 3), np.float64, ["-M", "ABS", "1e-4"],
+                             "[GlobalSettings]\nCmprAlgo = ALGO_BIOMD\n", {}),
+    "f32_3d_biomdxtc":      ((24, 333, 3), np.float32, ["-M", "ABS", "1e-3"],
+                             "[GlobalSettings]\nCmprAlgo = ALGO_BIOMDXTC\n", {}),
+    "f32_3d_biomdxtc_fill": ((32, 120, 3), np.float32, ["-M", "ABS", "1e-3"],
+                             "[GlobalSettings]\nCmprAlgo = ALGO_BIOMDXTC\n", {}),
+    "f32_2d_biomdxtc":      ((2000, 3), np.float32, ["-M", "ABS", "1e-3"],
+                             "[GlobalSettings]\nCmprAlgo = ALGO_BIOMDXTC\n", {}),
 }
 
 DTYPE_FLAG = {np.float32: ["-f"], np.float64: ["-d"], np.int32: ["-I", "32"], np.int64: ["-I", "64"]}
+
+
+def kind_for(name: str) -> str:
+    if "biomd" in name:
+        return "traj_fill" if "fill" in name else "traj"
+    return "noisy" if "noisy" in name else "smooth"
 
 
 def gen_case(sz3: str, name: str, force: bool = False) -> dict:
@@ -81,7 +119,7 @@ def gen_case(sz3: str, name: str, force: bool = False) -> dict:
     outf = HERE / f"{name}.out"
     if szf.exists() and not force:
         return {"name": name, "skipped": True}
-    kind = "noisy" if "noisy" in name else "smooth"
+    kind = kind_for(name)
     arr = synth(shape, dtype, kind)
     if dtype in (np.int32, np.int64):
         arr = (synth(shape, np.float64, kind) * 1000).astype(dtype)
@@ -113,12 +151,21 @@ def main():
     p.add_argument("--sz3", default="/tmp/ref-build/tools/sz3/sz3")
     p.add_argument("--force", action="store_true")
     a = p.parse_args()
+    # keep prior metadata for cases whose archives already exist
+    old = {}
+    mf = HERE / "manifest.json"
+    if mf.exists():
+        old = {c["name"]: c for c in json.loads(mf.read_text()) if not c.get("skipped")}
     manifest = []
     for name in CASES:
         info = gen_case(a.sz3, name, a.force)
+        if info.get("skipped"):
+            if name not in old:
+                raise RuntimeError(f"{name}: archive exists but manifest entry missing; use --force")
+            info = old[name]
         manifest.append(info)
         print("ok", name)
-    (HERE / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    mf.write_text(json.dumps(manifest, indent=1))
 
 
 if __name__ == "__main__":
