@@ -1,0 +1,157 @@
+"""MDZ/ADP adaptive time-series compressor for molecular-dynamics data.
+
+Python surface over the native pipeline (native/szt/mdz.hpp), equivalent to
+the reference `mdz` tool (tools/mdz/{mdz.cpp,include/mdz.hpp}, ICDE'22):
+per-batch method selection among VQ / VQT / MT / LR (/ TS), k-means level
+detection, per-batch REL->ABS error-bound scaling, and 3D-to-per-axis-2D
+decomposition.
+
+Divergences from the reference tool (both strict improvements):
+- the reference's VQ/MT/SZ2 helpers ignore the size returned by
+  compress() and report the buffer *capacity* (tools/mdz/include/mdz.hpp:
+  137-139 sets compressed_size to 2*num*sizeof(T) and never updates it), so
+  its printed ratio is always 0.5 and select() compares equal capacities;
+  this implementation measures real stream sizes, restoring the ICDE'22
+  adaptive behavior.
+- the reference's k-means sampler seeds from std::random_device
+  (non-deterministic); ours is fixed-seed so identical inputs give
+  identical archives.
+
+Unlike the reference tool (which only reports sizes in memory), archives
+here are self-describing and round-trip through files:
+
+    blob = mdz_compress(traj, rel_eb=1e-3, batch_size=100)
+    out = mdz_decompress(blob)
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+from typing import Optional
+
+import numpy as np
+
+from .runtime import lib as _lib, _take, _ERRCAP
+
+METHODS = {"ADP": -1, "VQ": 0, "VQT": 1, "MT": 2, "LR": 3, "TS": 4}
+METHOD_NAMES = {v: k for k, v in METHODS.items()}
+
+_bound = False
+
+
+def _l():
+    global _bound
+    l = _lib()
+    if not _bound:
+        u8p = C.POINTER(C.c_uint8)
+        u64 = C.c_uint64
+        l.szt_mdz_compress.restype = C.c_int
+        l.szt_mdz_compress.argtypes = [C.POINTER(u64), C.c_int32, C.c_uint8, C.c_uint8,
+                                       C.c_double, u64, C.c_int32, C.c_int32, C.c_void_p,
+                                       C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
+        l.szt_mdz_peek.restype = C.c_int
+        l.szt_mdz_peek.argtypes = [C.c_char_p, u64, C.POINTER(u64), C.POINTER(C.c_int32),
+                                   C.POINTER(C.c_uint8), C.c_char_p, u64]
+        l.szt_mdz_decompress.restype = C.c_int
+        l.szt_mdz_decompress.argtypes = [C.c_char_p, u64, C.c_void_p, C.c_char_p, u64]
+        _bound = True
+    return l
+
+
+def mdz_compress(data: np.ndarray, *, abs_eb: Optional[float] = None,
+                 rel_eb: Optional[float] = None, batch_size: int = 0,
+                 method: int | str = -1, quantbin: int = 1024) -> bytes:
+    """Compress a 1D (atoms), 2D (frames, atoms) or 3D (frames, atoms, xyz)
+    MD series. Exactly one of abs_eb / rel_eb must be given (reference
+    mdz.cpp:40-46). method: "ADP" (adaptive, default) or VQ/VQT/MT/LR/TS."""
+    if (abs_eb is None) == (rel_eb is None):
+        raise ValueError("specify exactly one of abs_eb / rel_eb")
+    if isinstance(method, str):
+        method = METHODS[method.upper()]
+    if data.ndim > 3:
+        raise ValueError("MDZ supports 1D-3D data")
+    data = np.ascontiguousarray(data)
+    if data.dtype == np.float32:
+        dtype = 0
+    elif data.dtype == np.float64:
+        dtype = 1
+    else:
+        raise TypeError("MDZ supports float32/float64")
+    dims = (C.c_uint64 * data.ndim)(*data.shape)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = _l().szt_mdz_compress(dims, data.ndim, dtype,
+                               0 if abs_eb is not None else 1,
+                               abs_eb if abs_eb is not None else rel_eb,
+                               batch_size, quantbin, method,
+                               data.ctypes.data_as(C.c_void_p),
+                               C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"mdz_compress: {err.value.decode()}")
+    return _take(out, out_len)
+
+
+def mdz_peek(blob: bytes):
+    """(shape, numpy dtype) described by an MDZ archive header."""
+    dims = (C.c_uint64 * 4)()
+    ndim = C.c_int32()
+    dtype = C.c_uint8()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = _l().szt_mdz_peek(blob, len(blob), dims, C.byref(ndim), C.byref(dtype), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"mdz_peek: {err.value.decode()}")
+    shape = tuple(dims[i] for i in range(ndim.value))
+    return shape, (np.float32 if dtype.value == 0 else np.float64)
+
+
+def mdz_decompress(blob: bytes) -> np.ndarray:
+    shape, dtype = mdz_peek(blob)
+    out = np.empty(shape, dtype=dtype)
+    err = C.create_string_buffer(_ERRCAP)
+    rc = _l().szt_mdz_decompress(blob, len(blob), out.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"mdz_decompress: {err.value.decode()}")
+    return out
+
+
+def main(argv=None):
+    """CLI mirroring the reference `mdz` tool (tools/mdz/mdz.cpp:4-10):
+    mdz file -2 n_frames n_atoms -r reb [batch] [method] [quantbin]"""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="sz3t-mdz", description=main.__doc__)
+    p.add_argument("file")
+    p.add_argument("-1", dest="d1", nargs=1, type=int, metavar="N")
+    p.add_argument("-2", dest="d2", nargs=2, type=int, metavar=("F", "A"))
+    p.add_argument("-3", dest="d3", nargs=3, type=int, metavar=("F", "A", "X"))
+    p.add_argument("-r", dest="reb", type=float, help="relative error bound")
+    p.add_argument("-a", dest="aeb", type=float, help="absolute error bound")
+    p.add_argument("-b", dest="batch", type=int, default=0)
+    p.add_argument("-m", dest="method", default="ADP", choices=list(METHODS))
+    p.add_argument("-q", dest="quantbin", type=int, default=1024)
+    p.add_argument("-z", dest="out", help="write archive here")
+    p.add_argument("-o", dest="dec", help="write decompressed output here")
+    a = p.parse_args(argv)
+
+    shape = tuple(a.d1 or a.d2 or a.d3 or ())
+    if not shape:
+        p.error("give -1/-2/-3 dims")
+    data = np.fromfile(a.file, dtype=np.float32, count=int(np.prod(shape))).reshape(shape)
+    blob = mdz_compress(data, abs_eb=a.aeb, rel_eb=a.reb, batch_size=a.batch,
+                        method=a.method, quantbin=a.quantbin)
+    dec = mdz_decompress(blob)
+    ratio = data.nbytes / len(blob)
+    err = np.abs(dec.astype(np.float64) - data.astype(np.float64)).max()
+    print(f"Batch={a.batch or shape[0]}")
+    print(f"Compression ratio={ratio:.3f}")
+    print(f"Max error={err:.6g}")
+    if a.out:
+        with open(a.out, "wb") as f:
+            f.write(blob)
+    if a.dec:
+        dec.tofile(a.dec)
+
+
+if __name__ == "__main__":
+    main()

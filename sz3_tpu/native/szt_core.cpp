@@ -11,6 +11,8 @@
 
 #include "szt/bridge.hpp"
 #include "szt/container.hpp"
+#include "szt/encoders_extra.hpp"
+#include "szt/mdz.hpp"
 #include "szt/pipeline.hpp"
 
 using namespace szt;
@@ -472,6 +474,141 @@ void* SZ_decompress(int dataType, unsigned char* bytes, size_t byteLength, size_
 }
 
 void free_buf(void* p) { std::free(p); }
+
+// ---- secondary encoders + truncate compressor --------------------------------
+
+// [table save][bitstream]; state_num <= 4096, transform = zigzag fold mode
+int szt_ari_encode(const int32_t* bins, uint64_t n, int32_t state_num, int32_t transform,
+                   uint8_t** out, uint64_t* out_len, char* err, uint64_t errcap) {
+    try {
+        ArithmeticCoder ac(transform != 0);
+        ac.build(bins, n, state_num);
+        Sink s;
+        ac.save(s);
+        ac.encode(bins, n, s);
+        *out = to_malloc(s.buf, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_ari_decode(const uint8_t* blob, uint64_t len, int32_t transform, int32_t* out,
+                   uint64_t n, char* err, uint64_t errcap) {
+    try {
+        Source s(blob, len);
+        ArithmeticCoder ac(transform != 0);
+        ac.load(s);
+        auto v = ac.decode(s, n);
+        std::memcpy(out, v.data(), v.size() * sizeof(int32_t));
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_rle_encode(const int32_t* bins, uint64_t n, uint8_t** out, uint64_t* out_len, char* err,
+                   uint64_t errcap) {
+    try {
+        Sink s;
+        RunlengthCoder::encode(bins, n, s);
+        *out = to_malloc(s.buf, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_rle_decode(const uint8_t* blob, uint64_t len, int32_t* out, uint64_t n, char* err,
+                   uint64_t errcap) {
+    try {
+        Source s(blob, len);
+        RunlengthCoder::decode(s, n, out);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// truncate byte planes -> zstd (reference SZTruncateCompressor)
+int szt_truncate_compress(const float* data, uint64_t n, int32_t byte_len, uint8_t** out,
+                          uint64_t* out_len, char* err, uint64_t errcap) {
+    try {
+        if (byte_len < 1 || byte_len > 4) throw std::runtime_error("byte_len must be 1..4");
+        Sink s;
+        s.reserve(n * byte_len);
+        truncate_f32(data, n, byte_len, s);
+        auto z = zstd_pack(s.buf.data(), s.buf.size(), ZSTD_compressBound(s.buf.size()) + 16);
+        *out = to_malloc(z, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_truncate_decompress(const uint8_t* blob, uint64_t len, int32_t byte_len, float* out,
+                            uint64_t n, char* err, uint64_t errcap) {
+    try {
+        auto raw = zstd_unpack(blob, len);
+        Source s(raw.data(), raw.size());
+        truncate_f32_recover(s, n, byte_len, out);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// ---- MDZ adaptive time-series compressor (reference tools/mdz) --------------
+
+// dtype: 0 = float32, 1 = float64. method -1 = adaptive (re-select every 50
+// batches); 0..4 pin VQ/VQT/MT/LR/TS.
+int szt_mdz_compress(const uint64_t* dims, int32_t ndim, uint8_t dtype, uint8_t eb_mode,
+                     double eb, uint64_t batch, int32_t quantbin, int32_t method,
+                     const void* data, uint8_t** out, uint64_t* out_len, char* err,
+                     uint64_t errcap) {
+    try {
+        MdzParams p;
+        p.dims.assign(dims, dims + ndim);
+        p.eb_mode = eb_mode;
+        p.eb = eb;
+        p.batch_size = batch;
+        p.quantbin = quantbin;
+        p.method = method;
+        std::vector<uint8_t> blob;
+        if (dtype == 0) blob = mdz_compress<float>(p, static_cast<const float*>(data));
+        else if (dtype == 1) blob = mdz_compress<double>(p, static_cast<const double*>(data));
+        else throw std::runtime_error("mdz: unsupported dtype");
+        *out = to_malloc(blob, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_mdz_peek(const uint8_t* blob, uint64_t len, uint64_t* dims, int32_t* ndim,
+                 uint8_t* dtype, char* err, uint64_t errcap) {
+    try {
+        auto h = mdz_peek(blob, len);
+        *ndim = int32_t(h.dims.size());
+        *dtype = h.dtype;
+        for (size_t i = 0; i < h.dims.size(); i++) dims[i] = h.dims[i];
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_mdz_decompress(const uint8_t* blob, uint64_t len, void* out, char* err, uint64_t errcap) {
+    try {
+        auto h = mdz_peek(blob, len);
+        if (h.dtype == 0) mdz_decompress<float>(blob, len, static_cast<float*>(out));
+        else if (h.dtype == 1) mdz_decompress<double>(blob, len, static_cast<double*>(out));
+        else throw std::runtime_error("mdz: unsupported dtype");
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
 
 // ---- full-container entry points (native CLI / C callers) --------------------
 
