@@ -69,5 +69,42 @@ def build(verbose: bool = False) -> Path:
     return out
 
 
+_H5Z_SOURCE = _NATIVE_DIR / "h5z_szt.cpp"
+
+
+def _h5z_hash() -> str:
+    h = hashlib.sha256()
+    for f in [_H5Z_SOURCE] + _HEADERS + [Path(__file__)]:
+        h.update(f.name.encode())
+        h.update(f.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def h5z_lib_path() -> Path:
+    return _NATIVE_DIR / f"libh5zszt-{_h5z_hash()}.so"
+
+
+def build_h5z(verbose: bool = False) -> Path:
+    """Build the HDF5 filter plugin (filter id 32024)."""
+    out = h5z_lib_path()
+    if out.exists():
+        return out
+    cmd = [CXX, *CXXFLAGS, "-I", str(_NATIVE_DIR), str(_H5Z_SOURCE),
+           "-o", str(out), "-lzstd", "-ldl"]
+    if verbose:
+        print("h5z-szt build:", " ".join(cmd))
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"h5z plugin build failed:\n{proc.stderr}")
+    for old in _NATIVE_DIR.glob("libh5zszt-*.so"):
+        if old != out:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    return out
+
+
 if __name__ == "__main__":
     print(build(verbose=True))
+    print(build_h5z(verbose=True))

@@ -148,26 +148,40 @@ void decompress_typed(const Conf& conf, const uint8_t* cmp, size_t len, T* out) 
     }
 }
 
+// Invoke f with a typed null pointer for the archive dtype id
+// (SZ_FLOAT=0 .. SZ_INT64=9; reference utils/Config.hpp:27-36).
+template <class F>
+void with_dtype(uint8_t dtype_id, F&& f) {
+    switch (dtype_id) {
+        case 0: f(static_cast<float*>(nullptr)); break;
+        case 1: f(static_cast<double*>(nullptr)); break;
+        case 2: f(static_cast<uint8_t*>(nullptr)); break;
+        case 3: f(static_cast<int8_t*>(nullptr)); break;
+        case 4: f(static_cast<uint16_t*>(nullptr)); break;
+        case 5: f(static_cast<int16_t*>(nullptr)); break;
+        case 6: f(static_cast<uint32_t*>(nullptr)); break;
+        case 7: f(static_cast<int32_t*>(nullptr)); break;
+        case 8: f(static_cast<uint64_t*>(nullptr)); break;
+        case 9: f(static_cast<int64_t*>(nullptr)); break;
+        default: throw std::runtime_error("unsupported dtype");
+    }
+}
+
 }  // namespace
 
 extern "C" {
 
 void szt_free(void* p) { std::free(p); }
 
-// dtype codes follow the archive dataType ids (SZ_FLOAT=0, SZ_DOUBLE=1,
-// SZ_INT32=7, SZ_INT64=9; reference utils/Config.hpp:27-36).
 int szt_compress(SztConf* conf, const void* data, uint64_t cap, uint8_t** out, uint64_t* out_len,
                  char* err, uint64_t errcap) {
     try {
         Conf k = to_conf(conf);
         std::vector<uint8_t> payload;
-        switch (conf->engineType) {
-            case 0: payload = compress_typed<float>(k, static_cast<const float*>(data), cap, conf->nthreads); break;
-            case 1: payload = compress_typed<double>(k, static_cast<const double*>(data), cap, conf->nthreads); break;
-            case 7: payload = compress_typed<int32_t>(k, static_cast<const int32_t*>(data), cap, conf->nthreads); break;
-            case 9: payload = compress_typed<int64_t>(k, static_cast<const int64_t*>(data), cap, conf->nthreads); break;
-            default: throw std::runtime_error("unsupported dtype");
-        }
+        with_dtype(conf->engineType, [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            payload = compress_typed<T>(k, static_cast<const T*>(data), cap, conf->nthreads);
+        });
         from_conf(k, conf);
         *out = to_malloc(payload, out_len);
         return 0;
@@ -180,13 +194,10 @@ int szt_decompress(const SztConf* conf, const uint8_t* cmp, uint64_t len, void* 
                    uint64_t errcap) {
     try {
         Conf k = to_conf(conf);
-        switch (conf->engineType) {
-            case 0: decompress_typed<float>(k, cmp, len, static_cast<float*>(out)); break;
-            case 1: decompress_typed<double>(k, cmp, len, static_cast<double*>(out)); break;
-            case 7: decompress_typed<int32_t>(k, cmp, len, static_cast<int32_t*>(out)); break;
-            case 9: decompress_typed<int64_t>(k, cmp, len, static_cast<int64_t*>(out)); break;
-            default: throw std::runtime_error("unsupported dtype");
-        }
+        with_dtype(conf->engineType, [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            decompress_typed<T>(k, cmp, len, static_cast<T*>(out));
+        });
         return 0;
     } catch (const std::exception& e) {
         return fail(e, err, errcap);
@@ -617,13 +628,10 @@ int szt_container_compress(SztConf* conf, const void* data, uint8_t** out, uint6
     try {
         Conf k = to_conf(conf);
         std::vector<uint8_t> blob;
-        switch (conf->engineType) {
-            case 0: blob = container_compress<float>(k, static_cast<const float*>(data), conf->nthreads); break;
-            case 1: blob = container_compress<double>(k, static_cast<const double*>(data), conf->nthreads); break;
-            case 7: blob = container_compress<int32_t>(k, static_cast<const int32_t*>(data), conf->nthreads); break;
-            case 9: blob = container_compress<int64_t>(k, static_cast<const int64_t*>(data), conf->nthreads); break;
-            default: throw std::runtime_error("unsupported dtype");
-        }
+        with_dtype(conf->engineType, [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            blob = container_compress<T>(k, static_cast<const T*>(data), conf->nthreads);
+        });
         from_conf(k, conf);
         *out = to_malloc(blob, out_len);
         return 0;
@@ -636,13 +644,10 @@ int szt_container_decompress(SztConf* conf, const uint8_t* blob, uint64_t len, v
                              char* err, uint64_t errcap) {
     try {
         Conf k;
-        switch (conf->engineType) {
-            case 0: container_decompress<float>(blob, len, k, static_cast<float*>(out)); break;
-            case 1: container_decompress<double>(blob, len, k, static_cast<double*>(out)); break;
-            case 7: container_decompress<int32_t>(blob, len, k, static_cast<int32_t*>(out)); break;
-            case 9: container_decompress<int64_t>(blob, len, k, static_cast<int64_t*>(out)); break;
-            default: throw std::runtime_error("unsupported dtype");
-        }
+        with_dtype(conf->engineType, [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            container_decompress<T>(blob, len, k, static_cast<T*>(out));
+        });
         from_conf(k, conf);
         return 0;
     } catch (const std::exception& e) {

@@ -21,7 +21,13 @@ _ERRCAP = 1024
 _DTYPE_TO_NP = {
     DataType.FLOAT: np.float32,
     DataType.DOUBLE: np.float64,
+    DataType.UINT8: np.uint8,
+    DataType.INT8: np.int8,
+    DataType.UINT16: np.uint16,
+    DataType.INT16: np.int16,
+    DataType.UINT32: np.uint32,
     DataType.INT32: np.int32,
+    DataType.UINT64: np.uint64,
     DataType.INT64: np.int64,
 }
 _NP_TO_DTYPE = {np.dtype(v): k for k, v in _DTYPE_TO_NP.items()}
@@ -173,7 +179,7 @@ def np_dtype_id(arr: np.ndarray) -> DataType:
     try:
         return _NP_TO_DTYPE[arr.dtype]
     except KeyError:
-        raise TypeError(f"unsupported dtype {arr.dtype}; supported: float32, float64, int32, int64")
+        raise TypeError(f"unsupported dtype {arr.dtype}; supported: f32/f64 and u/int 8-64")
 
 
 def np_dtype_of(dt: DataType):
