@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SIZE = int(os.environ.get("SZT_BENCH_SIZE", "256"))
 EB = 1e-3
-REPS = int(os.environ.get("SZT_BENCH_REPS", "3"))
+REPS = int(os.environ.get("SZT_BENCH_REPS", "5"))
 REF_BIN = os.environ.get("SZT_REF_SZ3", "/tmp/ref-build/tools/sz3/sz3")
 
 
@@ -84,7 +84,10 @@ def bench_native(data: np.ndarray):
 
 def bench_device(data: np.ndarray):
     """Pure device-compute throughput of the quantization pipeline (the part
-    that runs on the TPU; entropy/IO stages are host-side)."""
+    that runs on the TPU; entropy/IO stages are host-side). K iterations are
+    chained inside one jit program so per-call tunnel/RPC latency (~30 ms on
+    remote-attached chips) amortizes away — this measures the chip, not the
+    link."""
     try:
         import jax
         import jax.numpy as jnp
@@ -94,20 +97,25 @@ def bench_device(data: np.ndarray):
         return None
     plan = build_fast_plan(data.shape, interp_algo=1, direction=0, anchor_stride=32,
                            alpha=1.25, beta=2.0, eb=EB, quantbin_cnt=65536)
+    K = 10
 
     @jax.jit
-    def run(x, salt):
-        bins, b0, recon = encode_grid_fast(x + salt, plan)
-        return sum(jnp.sum(b.astype(jnp.int64)) for b in bins), jnp.sum(recon)
+    def run_k(x):
+        def body(i, acc):
+            # acc-dependent salt keeps iterations sequential (no CSE/overlap)
+            bins, b0, recon = encode_grid_fast(x + acc * 1e-20, plan)
+            s = sum(jnp.sum(b.astype(jnp.int32)) for b in bins).astype(jnp.float32)
+            return acc + s + jnp.sum(recon)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
     xj = jax.device_put(jnp.asarray(data))
-    float(np.asarray(run(xj, 0.0)[1]))  # compile+warm
+    float(np.asarray(run_k(xj)))  # compile+warm
     ts = []
-    for i in range(REPS):
+    for _ in range(REPS):
         t = time.time()
-        float(np.asarray(run(xj, 1e-12 * (i + 1))[1]))  # salt defeats caching
+        float(np.asarray(run_k(xj)))
         ts.append(time.time() - t)
-    return min(ts)
+    return min(ts) / K
 
 
 def main():
@@ -130,9 +138,17 @@ def main():
         log(f"reference sz3: enc {renc:.2f}s dec {rdec:.2f}s size {rsize} -> {rgbs:.3f} GB/s")
         log(f"size parity: ours {size} vs ref {rsize} ({'EQUAL' if size == rsize else 'DIFFERENT'})")
 
+    # parallel-vs-parallel supplement: our chunked mode vs reference OpenMP
+    nthreads = os.cpu_count() or 1
+    if nthreads <= 1:
+        log("chunked bench skipped: single-CPU host")
+    else:
+        bench_chunked(data, nthreads, nbytes)
+
     dev = bench_device(data)
     if dev is not None:
-        log(f"TPU device quantization pipeline: {dev*1e3:.1f} ms -> {nbytes/dev/1e9:.2f} GB/s/chip")
+        log(f"TPU device quantization pipeline (amortized over 10 chained iters): "
+            f"{dev*1e3:.2f} ms -> {nbytes/dev/1e9:.2f} GB/s/chip")
 
     print(json.dumps({
         "metric": f"encode+decode GB/s ({SIZE}^3 f32, ABS {EB}, default algo)",
@@ -140,6 +156,24 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(vs, 3) if vs else None,
     }))
+
+
+def bench_chunked(data, nthreads, nbytes):
+    try:
+        import sz3_tpu as szt
+        conf = szt.Config(dims=data.shape, absErrorBound=EB, openmp=True)
+        szt.compress(data, conf, nthreads=nthreads)  # warm
+        t = time.time()
+        blob_p = szt.compress(data, szt.Config(dims=data.shape, absErrorBound=EB, openmp=True),
+                              nthreads=nthreads)
+        enc_p = time.time() - t
+        t = time.time()
+        out_p, _ = szt.decompress(blob_p)
+        dec_p = time.time() - t
+        log(f"sz3-tpu chunked x{nthreads}: enc {enc_p:.2f}s dec {dec_p:.2f}s "
+            f"-> {2*nbytes/(enc_p+dec_p)/1e9:.3f} GB/s")
+    except Exception as e:
+        log("chunked bench skipped:", e)
 
 
 if __name__ == "__main__":

@@ -161,14 +161,24 @@ class Huffman {
         }
         // Bit reader over the stream; table-accelerated where codes fit in
         // TABLE_BITS, falling back to a bitwise tree walk for long codes.
+        // Hot loop peeks via one unaligned 64-bit big-endian load; the last
+        // 8 stream bytes go through the bounds-checked slow peek.
         size_t nbytes = enc_len;
         uint64_t bitpos = 0;
         const uint64_t total_bits = uint64_t(nbytes) * 8;
-        for (size_t k = 0; k < count; k++) {
-            uint32_t peeked = peek_bits(bytes, nbytes, bitpos, total_bits);
-            const DecEntry& e = table_[peeked];
+        const int64_t off64 = int64_t(offset_);
+        const uint64_t safe_bits = nbytes >= 8 ? (uint64_t(nbytes) - 8) * 8 : 0;
+        const DecEntry* tbl = table_.data();
+        size_t k = 0;
+        while (k < count && bitpos < safe_bits) {
+            uint64_t w;
+            std::memcpy(&w, bytes + (bitpos >> 3), 8);
+            w = __builtin_bswap64(w);
+            uint32_t peeked = uint32_t(w >> (64 - TABLE_BITS - int(bitpos & 7))) &
+                              ((1u << TABLE_BITS) - 1);
+            const DecEntry& e = tbl[peeked];
             if (e.len) {
-                out[k] = T(int64_t(e.sym) + int64_t(offset_));
+                out[k++] = T(int64_t(e.sym) + off64);
                 bitpos += e.len;
             } else {
                 int node = e.node >= 0 ? e.node : root_;
@@ -178,7 +188,25 @@ class Huffman {
                     node = bit ? pool_r_[node] : pool_l_[node];
                     bp++;
                 }
-                out[k] = T(int64_t(pool_sym_[node]) + int64_t(offset_));
+                out[k++] = T(int64_t(pool_sym_[node]) + off64);
+                bitpos = bp;
+            }
+        }
+        for (; k < count; k++) {
+            uint32_t peeked = peek_bits(bytes, nbytes, bitpos, total_bits);
+            const DecEntry& e = tbl[peeked];
+            if (e.len) {
+                out[k] = T(int64_t(e.sym) + off64);
+                bitpos += e.len;
+            } else {
+                int node = e.node >= 0 ? e.node : root_;
+                uint64_t bp = e.node >= 0 ? bitpos + TABLE_BITS : bitpos;
+                while (!pool_leaf_[node]) {
+                    int bit = (bytes[bp >> 3] >> (7 - (bp & 7))) & 1;
+                    node = bit ? pool_r_[node] : pool_l_[node];
+                    bp++;
+                }
+                out[k] = T(int64_t(pool_sym_[node]) + off64);
                 bitpos = bp;
             }
         }

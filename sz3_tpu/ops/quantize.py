@@ -23,12 +23,17 @@ def quantize(data, pred, eb: float, radius: int):
     """
     recip = 1.0 / eb  # python float == C double
     diff = data - pred  # T precision
-    qi = (jnp.abs(diff).astype(jnp.float64) * recip).astype(jnp.int64) + 1
-    half = (qi >> 1).astype(jnp.int64)
+    # clamp the scaled residual before the int cast so int32 suffices on TPU
+    # (no native 64-bit int vectors); anything at/above the clamp is
+    # unpredictable anyway, and the qi < 2*radius test is unaffected because
+    # the clamp value exceeds the threshold
+    scaled = jnp.abs(diff).astype(jnp.float64) * recip
+    qi = jnp.minimum(scaled, jnp.float64(2 * radius)).astype(jnp.int32) + 1
+    half = qi >> 1
     qeven = half << 1
     neg = diff < 0
     q = jnp.where(neg, -qeven, qeven)
-    shifted = jnp.where(neg, radius - half, radius + half).astype(jnp.int64)
+    shifted = jnp.where(neg, radius - half, radius + half)
     dec = (pred.astype(jnp.float64) + q.astype(jnp.float64) * eb).astype(data.dtype)
     err = jnp.abs((dec - data).astype(jnp.float64))
     ok = (qi < 2 * radius) & (err <= eb)
@@ -42,5 +47,5 @@ def recover(pred, bins, literal, eb: float, radius: int):
     narrowed to T); bins==0 -> the pre-placed literal value
     (reference LinearQuantizer.hpp:74-86)."""
     dec = (pred.astype(jnp.float64) +
-           (2 * (bins.astype(jnp.int64) - radius)).astype(jnp.float64) * eb).astype(pred.dtype)
+           (2 * (bins - radius)).astype(jnp.float64) * eb).astype(pred.dtype)
     return jnp.where(bins != 0, dec, literal)
