@@ -13,12 +13,26 @@ buffer-too-small downgrade.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from .. import runtime
 from ..config import ALGO, Config, EB
 from ..stats import cal_abs_error_bound
 from ..ops.interp_fast import interp_decode_grid, interp_encode_bins_grid
+
+
+@lru_cache(maxsize=16)
+def _stream_perm(dims, interp_algo, direction, anchor_stride):
+    """Cached stream-order permutation (data-independent; ~num*8 bytes).
+    interp_algo matters: linear and cubic emit block-boundary points in a
+    different order (reference InterpolationDecomposition.hpp:247-402)."""
+    c = Config(dims=dims, cmprAlgo=ALGO.INTERP)
+    c.interpAlgo = interp_algo
+    c.interpDirection = direction
+    c.interpAnchorStride = anchor_stride
+    return runtime.interp_order(c)
 
 
 def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
@@ -29,13 +43,24 @@ def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
         interp_algo=int(conf.interpAlgo), direction=conf.interpDirection,
         anchor_stride=conf.interpAnchorStride, alpha=conf.interpAlpha,
         beta=conf.interpBeta, eb=conf.absErrorBound, quantbin_cnt=conf.quantbinCnt)
-    stream, unpred = runtime.interp_emit(conf, bins, data)
+    # grid order -> archive stream order as one gather; unpredictable slots
+    # (bins==0, incl. anchors) carry the original values as literals, in
+    # stream order — exactly what the scalar walk (bridge.hpp) produces
+    perm = _stream_perm(tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection, conf.interpAnchorStride)
+    stream = bins.ravel()[perm]
+    unpred = np.ascontiguousarray(data.ravel()[perm[stream == 0]])
     return runtime.interp_seal(conf, stream, unpred, cap)
 
 
 def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
     stream, unpred = runtime.interp_open(conf, payload, dtype)
-    bins_grid, literal = runtime.interp_place(conf, stream, unpred, dtype)
+    perm = _stream_perm(tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection, conf.interpAnchorStride)
+    bins_grid = np.empty(conf.num, dtype=np.int32)
+    bins_grid[perm] = stream
+    literal = np.zeros(conf.num, dtype=dtype)
+    literal[perm[stream == 0]] = unpred
+    bins_grid = bins_grid.reshape(conf.dims)
+    literal = literal.reshape(conf.dims)
     return interp_decode_grid(
         bins_grid, literal, dtype,
         interp_algo=int(conf.interpAlgo), direction=conf.interpDirection,

@@ -65,6 +65,21 @@ void interp_place(const Conf& conf, const int32_t* stream, const T* unpred, int3
         });
 }
 
+// stream position -> flat grid index, for the whole archive stream. The
+// traversal is data-independent, so callers cache this per (dims, direction,
+// anchor_stride) and do emit/place as vectorized gathers/scatters.
+template <int N>
+void interp_order(const Conf& conf, int64_t* order) {
+    auto w = make_walker<float, N>(conf);
+    std::vector<int32_t> grid(conf.num(), 0);
+    int32_t* base = grid.data();
+    size_t k = 0;
+    w.traverse(
+        base,
+        [&](int32_t* d) { order[k++] = d - base; },
+        [&](int32_t* d, int32_t) { order[k++] = d - base; });
+}
+
 // stream + literals -> full payload bytes (identical to the host encoder's)
 template <class T, int N>
 std::vector<uint8_t> interp_seal(Conf& conf, const int32_t* stream, size_t n, const T* unpred,

@@ -386,6 +386,25 @@ int szt_interp_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t
     }
 }
 
+// stream-order permutation: order[i] = flat grid index of archive stream
+// slot i (caller buffer of conf.num() int64 entries)
+int szt_interp_order(const SztConf* conf, int64_t* order, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        default_anchor_stride(k);
+        switch (k.N()) {
+            case 1: interp_order<1>(k, order); break;
+            case 2: interp_order<2>(k, order); break;
+            case 3: interp_order<3>(k, order); break;
+            case 4: interp_order<4>(k, order); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // run only the INTERP_LORENZO tuner decision; conf is rewritten to the chosen
 // algorithm + params (reference SZAlgoInterp.hpp:122-286)
 int szt_tune_interp(SztConf* conf, const void* data, char* err, uint64_t errcap) {

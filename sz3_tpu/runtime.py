@@ -311,6 +311,25 @@ def interp_open(conf: Config, payload: bytes, dtype):
     return stream, unpred
 
 
+def interp_order(conf: Config) -> np.ndarray:
+    """Stream-order permutation: perm[i] = flat grid index of stream slot i.
+
+    Data-independent, so cache by (dims, direction, anchorStride); emit/place
+    then become numpy gathers/scatters instead of the scalar C++ walk."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    out = np.empty(conf.num, dtype=np.int64)
+    err = C.create_string_buffer(_ERRCAP)
+    l = lib()
+    if not hasattr(l, "_order_bound"):
+        l.szt_interp_order.restype = C.c_int
+        l.szt_interp_order.argtypes = [C.POINTER(SztConfC), C.c_void_p, C.c_char_p, C.c_uint64]
+        l._order_bound = True
+    rc = l.szt_interp_order(C.byref(c), out.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_interp_order: {err.value.decode()}")
+    return out
+
+
 def tune_interp(conf: Config, data: np.ndarray) -> None:
     """Run the INTERP_LORENZO tuner decision; mutates conf."""
     data = np.ascontiguousarray(data)
