@@ -205,7 +205,8 @@ def _stage2_fix(spec: FastPass, a, pred, recon_s1):
     return jnp.where(kind == K_LIN1_NEW, lin1, pred)
 
 
-def encode_pass_fast(x, coarse, spec: FastPass, radius: int, eb=None):
+def encode_pass_fast(cur, coarse, spec: FastPass, radius: int, eb=None):
+    """cur: original-data values at this pass's predicted (odd) positions."""
     if eb is None:
         eb = spec.eb
     pad = [(2, 2) if i == spec.dd else (0, 0) for i in range(coarse.ndim)]
@@ -213,9 +214,6 @@ def encode_pass_fast(x, coarse, spec: FastPass, radius: int, eb=None):
     m2, m1, z0, p1, p2 = (_shift(apad, d, spec.dd, spec.p) for d in (-2, -1, 0, 1, 2))
     kind = _kindvec(spec, coarse.ndim)
     pred = _predict_kinds(kind, m2, m1, z0, p1, p2)
-    counts = list(spec.shape_in)
-    counts[spec.dd] = spec.p
-    cur = _strided_slice(x, spec.cur_start, spec.cur_steps, tuple(counts))
     bins, recon = quantize(cur, pred, eb, radius)
     if spec.has_stage2:
         pred2 = _stage2_fix(spec, z0, pred, recon)
@@ -243,14 +241,39 @@ def decode_pass_fast(coarse, bins, literal, spec: FastPass, radius: int, eb=None
     return _interleave(coarse, rec, spec.dd, spec.shape_out[spec.dd])
 
 
+def _decimation_chain(x, plan: FastPlan):
+    """Original-data values on each pass's grids, built with single-axis
+    stride-2 slices of progressively smaller arrays instead of strided
+    gathers over the full array (TPU-unfriendly).
+
+    Returns (coarse0, curs): coarse0 = x on the initial grid; curs[k] = x at
+    pass k's predicted (odd) positions along its axis.
+    """
+    # fine[k] = x decimated to pass k's OUTPUT grid; walk backward from x
+    fine = [None] * len(plan.passes)
+    cur_arr = x
+    for k in range(len(plan.passes) - 1, -1, -1):
+        fine[k] = cur_arr
+        dd = plan.passes[k].dd
+        idx = tuple(slice(None, None, 2) if a == dd else slice(None)
+                    for a in range(x.ndim))
+        cur_arr = cur_arr[idx]  # even positions = the pass's input grid
+    curs = []
+    for k, spec in enumerate(plan.passes):
+        dd = spec.dd
+        idx = tuple(slice(1, None, 2) if a == dd else slice(None)
+                    for a in range(x.ndim))
+        curs.append(fine[k][idx])
+    return cur_arr, curs
+
+
 def encode_grid_fast(x, plan: FastPlan, eb=None):
     """original grid -> (list of per-pass bins, first-point bin or None).
 
     `eb` (traced f64 scalar) overrides the plan's static base eb — used by
     the sharded path where REL-style bounds derive from collectives.
     """
-    counts = tuple(_grid_count(d, s) for d, s in zip(plan.dims, plan.init_steps))
-    coarse = _strided_slice(x, (0,) * x.ndim, plan.init_steps, counts)
+    coarse, curs = _decimation_chain(x, plan)
     bins_out = []
     b0 = None
     base_eb = plan.base_eb if eb is None else eb
@@ -258,9 +281,9 @@ def encode_grid_fast(x, plan: FastPlan, eb=None):
         i0 = (0,) * x.ndim
         b0, r0 = quantize(x[i0], jnp.zeros((), x.dtype), base_eb, plan.radius)
         coarse = coarse.at[i0].set(r0)
-    for spec in plan.passes:
+    for spec, cur in zip(plan.passes, curs):
         pass_eb = None if eb is None else eb / spec.eb_ratio
-        coarse, b = encode_pass_fast(x, coarse, spec, plan.radius, eb=pass_eb)
+        coarse, b = encode_pass_fast(cur, coarse, spec, plan.radius, eb=pass_eb)
         bins_out.append(b)
     return bins_out, b0, coarse
 
