@@ -148,8 +148,10 @@ class BlockwiseCodec {
         grid.finish();  // compress path: padded copy owns scratch, original untouched
     }
 
+    // Requires a preceding load(): consumes the selection/coefficient streams
+    // and the quantizer's unpred literals read from the archive. (Must NOT
+    // re-run configure() here — that would reset the loaded stream state.)
     void decompress(const int32_t* bins, T* out) {
-        configure_for_decompress();
         PaddedGrid<T, N> grid(out, dims, 2, false);
         size_t pos = 0;
         sweep_blocks([&](const idx_t& b0, const idx_t& b1) {
@@ -206,7 +208,6 @@ class BlockwiseCodec {
     size_t sel_pos_ = 0;
     std::array<T, N + 1> prev_coef_{}, cur_coef_{};
 
-    void configure_for_decompress() { configure(); }
 
     // reference LorenzoPredictor.hpp:17-38
     double lorenzo_noise(int order) const {
@@ -379,7 +380,16 @@ class BlockwiseCodec {
         }
         std::array<double, N + 1> sum{};
         foreach_block(g, b0, b1, [&](T* c, const idx_t& li) {
-            for (int i = 0; i < N; i++) sum[i] += T(li[i]) * (*c);
+            // the reference accumulates index[i] * (*c) with index a size_t
+            // (RegressionPredictor.hpp:43): for integral T the usual
+            // conversions wrap the product in uint64, for floating T the
+            // index converts to T — replicate both exactly
+            for (int i = 0; i < N; i++) {
+                if constexpr (std::is_integral_v<T>)
+                    sum[i] += double(li[i] * size_t(*c));
+                else
+                    sum[i] += T(li[i]) * (*c);
+            }
             sum[N] += *c;
         });
         cur_coef_.fill(T(0));

@@ -1,0 +1,116 @@
+"""Randomized byte-parity fuzzing against the reference sz3 binary.
+
+Complements the fixed golden corpus: random shapes x dtypes x error modes x
+algorithms, comparing full-archive bytes and cross-decoding both directions.
+Runs only when a reference build is present (tests/golden/generate.py's
+default path); CI-style runs rely on the committed golden corpus instead.
+"""
+
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import sz3_tpu as szt
+from sz3_tpu.config import Config, EB_MAP
+
+REF = Path(os.environ.get("SZT_REF_SZ3", "/tmp/ref-build/tools/sz3/sz3"))
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference sz3 binary not built")
+
+DTYPE_FLAG = {"float32": ["-f"], "float64": ["-d"], "int32": ["-I", "32"], "int64": ["-I", "64"]}
+
+
+def random_case(rng):
+    ndim = rng.integers(1, 5)
+    if ndim == 1:
+        shape = (int(rng.integers(2000, 20000)),)
+    else:
+        # keep >= ~1700 floats (reference CLI buffer bound) and modest runtime
+        shape = tuple(int(rng.integers(8, [0, 0, 120, 44, 20][ndim]))
+                      for _ in range(ndim))
+        while np.prod(shape) < 4000:
+            shape = tuple(s + 8 for s in shape)
+    dtype = rng.choice(["float32", "float64", "int32", "int64"])
+    kind = rng.choice(["smooth", "rough", "const", "spiky"])
+    mode, args = {
+        0: ("ABS", ["-M", "ABS", "1e-2"]),
+        1: ("ABS", ["-M", "ABS", "1e-4"]),
+        2: ("REL", ["-M", "REL", "1e-3"]),
+        3: ("PSNR", ["-M", "PSNR", "70"]),
+        4: ("ABS_AND_REL", ["-M", "ABS_AND_REL", "-A", "1e-2", "-R", "1e-3"]),
+        5: ("NORM", ["-M", "NORM", "10"]),
+    }[int(rng.integers(0, 6))]
+    algo_ini = rng.choice([None, "ALGO_INTERP", "ALGO_LORENZO_REG", "ALGO_NOPRED"])
+    return shape, dtype, kind, mode, args, algo_ini
+
+
+def synth(shape, dtype, kind, rng):
+    g = np.meshgrid(*[np.linspace(0, 1, s) for s in shape], indexing="ij")
+    f = sum(np.sin(2 * np.pi * (k + 1.3) * x) for k, x in enumerate(g))
+    if kind == "rough":
+        f = f + rng.standard_normal(shape)
+    elif kind == "const":
+        f = np.full(shape, 3.25)
+    elif kind == "spiky":
+        f = f + np.where(rng.random(shape) < 0.01, rng.standard_normal(shape) * 100, 0)
+    if dtype in ("int32", "int64"):
+        return np.ascontiguousarray((f * 500).astype(dtype))
+    return np.ascontiguousarray(f, dtype=dtype)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_archive_parity(tmp_path, seed):
+    rng = np.random.default_rng(1000 + seed)
+    shape, dtype, kind, mode, args, algo_ini = random_case(rng)
+    arr = synth(shape, dtype, kind, rng)
+
+    datf = tmp_path / "in.dat"
+    szf = tmp_path / "ref.sz"
+    outf = tmp_path / "ref.out"
+    arr.tofile(datf)
+    cmd = [str(REF), *DTYPE_FLAG[dtype], "-i", str(datf), "-z", str(szf), "-o", str(outf),
+           f"-{len(shape)}", *[str(s) for s in reversed(shape)], *args]
+    if algo_ini:
+        ini = tmp_path / "a.ini"
+        ini.write_text(f"[GlobalSettings]\nCmprAlgo = {algo_ini}\n")
+        cmd += ["-c", str(ini)]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode == 0, f"reference failed on {shape} {dtype} {args}: {r.stderr}"
+    ref_blob = szf.read_bytes()
+    ref_out = np.fromfile(outf, dtype=dtype)
+
+    conf = Config(dims=shape)
+    if algo_ini:
+        conf.load_ini(f"[GlobalSettings]\nCmprAlgo = {algo_ini}\n")
+    # apply -M style args
+    i = 0
+    while i < len(args):
+        if args[i] == "-M":
+            conf.errorBoundMode = EB_MAP[args[i + 1]]
+            i += 2
+            if i < len(args) and not args[i].startswith("-"):
+                v = float(args[i])
+                conf.absErrorBound = v if args[i - 1] == "ABS" else conf.absErrorBound
+                conf.relErrorBound = v if args[i - 1] == "REL" else conf.relErrorBound
+                conf.psnrErrorBound = v if args[i - 1] == "PSNR" else conf.psnrErrorBound
+                conf.l2normErrorBound = v if args[i - 1] == "NORM" else conf.l2normErrorBound
+                i += 1
+        elif args[i] == "-A":
+            conf.absErrorBound = float(args[i + 1]); i += 2
+        elif args[i] == "-R":
+            conf.relErrorBound = float(args[i + 1]); i += 2
+        else:
+            i += 1
+
+    ours = szt.compress(arr, conf, set_datatype=False)
+    label = f"{shape} {dtype} {kind} {mode} {algo_ini}"
+    assert hashlib.sha256(ours).hexdigest() == hashlib.sha256(ref_blob).hexdigest(), \
+        f"archive bytes differ for {label} (ours {len(ours)}, ref {len(ref_blob)})"
+
+    # both directions decode bit-exactly
+    out, _ = szt.decompress(ref_blob, dtype=np.dtype(dtype))
+    assert np.array_equal(out.ravel(), ref_out), f"cross-decode differs for {label}"
