@@ -68,7 +68,7 @@ def compress(data: np.ndarray, conf: Optional[Config] = None, *, backend: str = 
         payload = runtime.compress_payload(c, data, cap, nthreads)
     elif backend == "jax":
         from .algos.jax_backend import compress_payload_jax
-        payload = compress_payload_jax(c, data, cap)
+        payload = compress_payload_jax(c, data, cap, nthreads=nthreads)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     head = _HDR.pack(SZ3_MAGIC_NUMBER, _DATA_VER, len(payload))

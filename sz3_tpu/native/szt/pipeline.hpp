@@ -600,26 +600,37 @@ std::vector<uint8_t> compress_chunked(Conf& conf, const T* data, int nthreads) {
     std::vector<Conf> confs(nthreads, conf);
     std::vector<std::vector<uint8_t>> streams(nthreads);
     std::vector<std::thread> threads;
+    std::vector<std::exception_ptr> errors(nthreads);
     for (int t = 0; t < nthreads; t++) {
         threads.emplace_back([&, t]() {
-            size_t lo = size_t(t) * conf.dims[0] / nthreads;
-            size_t hi = size_t(t + 1) * conf.dims[0] / nthreads;
-            std::vector<size_t> dims_t(conf.dims.begin(), conf.dims.end());
-            dims_t[0] = hi - lo;
-            confs[t].set_dims(dims_t);  // drops size-1 dims like the reference
-            size_t cap = ZSTD_compressBound(confs[t].num() * sizeof(T));
-            // chunk may drop to lower N; dispatch on its own rank
-            const T* dp = data + lo * base;
-            switch (confs[t].N()) {
-                case 1: streams[t] = compress_dispatch<T, 1>(confs[t], dp, cap); break;
-                case 2: streams[t] = compress_dispatch<T, 2>(confs[t], dp, cap); break;
-                case 3: streams[t] = compress_dispatch<T, 3>(confs[t], dp, cap); break;
-                case 4: streams[t] = compress_dispatch<T, 4>(confs[t], dp, cap); break;
-                default: break;
+            try {
+                size_t lo = size_t(t) * conf.dims[0] / nthreads;
+                size_t hi = size_t(t + 1) * conf.dims[0] / nthreads;
+                std::vector<size_t> dims_t(conf.dims.begin(), conf.dims.end());
+                dims_t[0] = hi - lo;
+                confs[t].set_dims(dims_t);  // drops size-1 dims like the reference
+                // reference cap is ZSTD_compressBound(bytes) (SZImplOMP.hpp:74)
+                // which is 8 bytes short of what the dispatcher's own lossless
+                // fallback frame needs — the reference std::terminate's on
+                // incompressible chunks; headroom makes the fallback viable
+                size_t cap = ZSTD_compressBound(confs[t].num() * sizeof(T)) + 4096;
+                // chunk may drop to lower N; dispatch on its own rank
+                const T* dp = data + lo * base;
+                switch (confs[t].N()) {
+                    case 1: streams[t] = compress_dispatch<T, 1>(confs[t], dp, cap); break;
+                    case 2: streams[t] = compress_dispatch<T, 2>(confs[t], dp, cap); break;
+                    case 3: streams[t] = compress_dispatch<T, 3>(confs[t], dp, cap); break;
+                    case 4: streams[t] = compress_dispatch<T, 4>(confs[t], dp, cap); break;
+                    default: throw std::runtime_error("unsupported chunk dimensionality");
+                }
+            } catch (...) {
+                errors[t] = std::current_exception();
             }
         });
     }
     for (auto& th : threads) th.join();
+    for (auto& e : errors)
+        if (e) std::rethrow_exception(e);
 
     Sink out;
     out.put<int32_t>(nthreads);
@@ -642,21 +653,28 @@ void decompress_chunked(const Conf& conf, const uint8_t* cmp, size_t len, T* out
 
     size_t base = conf.num() / conf.dims[0];
     std::vector<std::thread> threads;
+    std::vector<std::exception_ptr> errors(nthreads);
     for (int t = 0; t < nthreads; t++) {
         threads.emplace_back([&, t]() {
-            size_t lo = size_t(t) * conf.dims[0] / nthreads;
-            T* dp = out + lo * base;
-            const uint8_t* p = body + starts[t];
-            switch (confs[t].N()) {
-                case 1: decompress_dispatch<T, 1>(confs[t], p, sizes[t], dp); break;
-                case 2: decompress_dispatch<T, 2>(confs[t], p, sizes[t], dp); break;
-                case 3: decompress_dispatch<T, 3>(confs[t], p, sizes[t], dp); break;
-                case 4: decompress_dispatch<T, 4>(confs[t], p, sizes[t], dp); break;
-                default: break;
+            try {
+                size_t lo = size_t(t) * conf.dims[0] / nthreads;
+                T* dp = out + lo * base;
+                const uint8_t* p = body + starts[t];
+                switch (confs[t].N()) {
+                    case 1: decompress_dispatch<T, 1>(confs[t], p, sizes[t], dp); break;
+                    case 2: decompress_dispatch<T, 2>(confs[t], p, sizes[t], dp); break;
+                    case 3: decompress_dispatch<T, 3>(confs[t], p, sizes[t], dp); break;
+                    case 4: decompress_dispatch<T, 4>(confs[t], p, sizes[t], dp); break;
+                    default: throw std::runtime_error("unsupported chunk dimensionality");
+                }
+            } catch (...) {
+                errors[t] = std::current_exception();
             }
         });
     }
     for (auto& th : threads) th.join();
+    for (auto& e : errors)
+        if (e) std::rethrow_exception(e);
 }
 
 }  // namespace szt
