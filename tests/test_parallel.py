@@ -37,12 +37,12 @@ class TestShardedEncode:
         from sz3_tpu.parallel.sharded import sharded_encode
         import jax.numpy as jnp
 
-        data = field((32, 24, 24))
+        data = field((16, 8, 8))  # small dims = few levels = fast mesh compile
         plan, bins, b0, eb = sharded_encode(
             data, mesh, interp_algo=1, direction=0, anchor_stride=32, alpha=1.25,
             beta=2.0, quantbin_cnt=65536, eb_mode=EB.ABS, eb_value=1e-3)
         assert bins.shape[0] == 8
-        chunk = data[:4]
+        chunk = data[:2]
         p1 = build_fast_plan(chunk.shape, interp_algo=1, direction=0, anchor_stride=32,
                              alpha=1.25, beta=2.0, eb=1e-3, quantbin_cnt=65536)
         ref_bins, ref_b0, _ = encode_grid_fast(jnp.asarray(chunk), p1)
@@ -55,7 +55,7 @@ class TestShardedEncode:
         not each chunk's local range (reference SZImplOMP.hpp:57-68)."""
         from sz3_tpu.parallel.sharded import sharded_encode
 
-        data = field((32, 16, 16))
+        data = field((16, 8, 8))
         data[0, 0, 0] = 50.0  # global max lives in chunk 0 only
         plan, bins, b0, eb = sharded_encode(
             data, mesh, interp_algo=1, direction=0, anchor_stride=32, alpha=1.25,
