@@ -45,8 +45,29 @@ def nyx_like(n: int) -> np.ndarray:
     return np.ascontiguousarray(np.exp(f), dtype=np.float32)
 
 
+def ensure_reference() -> bool:
+    """Build the reference sz3 binary on demand (for vs_baseline)."""
+    if Path(REF_BIN).exists():
+        return True
+    src = Path("/root/reference")
+    if not src.exists():
+        return False
+    build_dir = Path(REF_BIN).parents[2]
+    log(f"building reference sz3 at {build_dir} ...")
+    try:
+        subprocess.run(["cmake", "-S", str(src), "-B", str(build_dir),
+                        "-DCMAKE_BUILD_TYPE=Release", "-DBUILD_TESTING=OFF", "-G", "Ninja"],
+                       check=True, capture_output=True, timeout=300)
+        subprocess.run(["ninja", "-C", str(build_dir), "sz3"],
+                       check=True, capture_output=True, timeout=600)
+    except Exception as e:
+        log("reference build failed:", e)
+        return False
+    return Path(REF_BIN).exists()
+
+
 def bench_reference(data: np.ndarray):
-    if not Path(REF_BIN).exists():
+    if not ensure_reference():
         log(f"reference binary not found at {REF_BIN}; vs_baseline = null")
         return None
     dat, szf, outf = "/tmp/szt_bench.dat", "/tmp/szt_bench.sz", "/tmp/szt_bench.out"
@@ -115,7 +136,35 @@ def bench_device(data: np.ndarray):
         t = time.time()
         float(np.asarray(run_k(xj)))
         ts.append(time.time() - t)
-    return min(ts) / K
+    enc_t = min(ts) / K
+
+    # decode side: real bins from the encode, zero literal slices
+    from sz3_tpu.ops.interp_fast import decode_grid_fast
+
+    @jax.jit
+    def enc_once(x):
+        bins, b0, recon = encode_grid_fast(x, plan)
+        return bins
+
+    bins_list = [jnp.asarray(b) for b in enc_once(xj)]
+    lit_list = [jnp.zeros(b.shape, jnp.float32) for b in bins_list]
+    lit0 = jnp.asarray(np.ascontiguousarray(
+        data[tuple(slice(None, None, s) for s in plan.init_steps)]))
+
+    @jax.jit
+    def dec_k(bins, lits, l0):
+        def body(i, acc):
+            out = decode_grid_fast(bins, lits, plan, l0 + acc * 1e-20, jnp.int32(0), jnp.float32)
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    float(np.asarray(dec_k(bins_list, lit_list, lit0)))
+    ts = []
+    for _ in range(REPS):
+        t = time.time()
+        float(np.asarray(dec_k(bins_list, lit_list, lit0)))
+        ts.append(time.time() - t)
+    return enc_t, min(ts) / K
 
 
 def main():
@@ -147,8 +196,10 @@ def main():
 
     dev = bench_device(data)
     if dev is not None:
-        log(f"TPU device quantization pipeline (amortized over 10 chained iters): "
-            f"{dev*1e3:.2f} ms -> {nbytes/dev/1e9:.2f} GB/s/chip")
+        denc, ddec = dev
+        log(f"TPU device pipeline (amortized over 10 chained iters): "
+            f"encode {denc*1e3:.2f} ms -> {nbytes/denc/1e9:.2f} GB/s/chip, "
+            f"decode {ddec*1e3:.2f} ms -> {nbytes/ddec/1e9:.2f} GB/s/chip")
 
     print(json.dumps({
         "metric": f"encode+decode GB/s ({SIZE}^3 f32, ABS {EB}, default algo)",
