@@ -166,47 +166,46 @@ class Huffman {
         size_t nbytes = enc_len;
         uint64_t bitpos = 0;
         const uint64_t total_bits = uint64_t(nbytes) * 8;
-        const int64_t off64 = int64_t(offset_);
         const uint64_t safe_bits = nbytes >= 8 ? (uint64_t(nbytes) - 8) * 8 : 0;
         const DecEntry* tbl = table_.data();
         size_t k = 0;
-        while (k < count && bitpos < safe_bits) {
+        // hot loop: up to two symbols per table hit (the lookup chain through
+        // bitpos is the latency bottleneck; short codes pack in pairs)
+        while (k + 1 < count && bitpos < safe_bits) {
             uint64_t w;
             std::memcpy(&w, bytes + (bitpos >> 3), 8);
             w = __builtin_bswap64(w);
             uint32_t peeked = uint32_t(w >> (64 - TABLE_BITS - int(bitpos & 7))) &
                               ((1u << TABLE_BITS) - 1);
             const DecEntry& e = tbl[peeked];
-            if (e.len) {
-                out[k++] = T(int64_t(e.sym) + off64);
+            if (e.n == 2) {
+                out[k++] = e.v0;
+                out[k++] = e.v1;
                 bitpos += e.len;
+            } else if (e.n == 1) {
+                out[k++] = e.v0;
+                bitpos += e.d1;
             } else {
-                int node = e.node >= 0 ? e.node : root_;
-                uint64_t bp = e.node >= 0 ? bitpos + TABLE_BITS : bitpos;
-                while (!pool_leaf_[node]) {
-                    int bit = (bytes[bp >> 3] >> (7 - (bp & 7))) & 1;
-                    node = bit ? pool_r_[node] : pool_l_[node];
-                    bp++;
-                }
-                out[k++] = T(int64_t(pool_sym_[node]) + off64);
-                bitpos = bp;
+                bitpos = slow_one(bytes, bitpos, e, out[k++]);
             }
         }
         for (; k < count; k++) {
             uint32_t peeked = peek_bits(bytes, nbytes, bitpos, total_bits);
             const DecEntry& e = tbl[peeked];
-            if (e.len) {
-                out[k] = T(int64_t(e.sym) + off64);
-                bitpos += e.len;
+            if (e.n) {
+                out[k] = e.v0;
+                bitpos += e.d1;
             } else {
-                int node = e.node >= 0 ? e.node : root_;
-                uint64_t bp = e.node >= 0 ? bitpos + TABLE_BITS : bitpos;
+                // bounds-checked walk from the root (codes near the stream
+                // tail may be longer than the zero-padded peek window)
+                int node = root_;
+                uint64_t bp = bitpos;
                 while (!pool_leaf_[node]) {
-                    int bit = (bytes[bp >> 3] >> (7 - (bp & 7))) & 1;
+                    int bit = bp < total_bits ? (bytes[bp >> 3] >> (7 - (bp & 7))) & 1 : 0;
                     node = bit ? pool_r_[node] : pool_l_[node];
                     bp++;
                 }
-                out[k] = T(int64_t(pool_sym_[node]) + off64);
+                out[k] = T(int64_t(pool_sym_[node]) + int64_t(offset_));
                 bitpos = bp;
             }
         }
@@ -231,13 +230,34 @@ class Huffman {
     uint32_t state_num_ = 0;
     T offset_ = 0;
 
-    static constexpr int TABLE_BITS = 14;
+    // Lookups chain through bitpos, so decode speed is bound by table-access
+    // latency: 11-bit prefixes x 12 bytes = 24 KB stays cache-resident, and
+    // each entry carries up to TWO decoded symbols (offset pre-applied).
+    static constexpr int TABLE_BITS = 11;
     struct DecEntry {
-        int32_t sym;   // symbol (pre-offset) when len>0
-        int32_t node;  // subtree to continue from when len==0 (-1: from root)
-        uint8_t len;
+        T v0;          // first decoded value (offset applied) when n >= 1,
+                       // else the subtree node to continue from (-1: root)
+        T v1;          // second decoded value when n == 2
+        uint8_t n;     // symbols decoded by this prefix (0 = slow path)
+        uint8_t d1;    // bit length of the first symbol
+        uint8_t len;   // total bit length of the n symbols
+        uint8_t pad_{};
     };
+    static_assert(sizeof(DecEntry) == 12, "DecEntry must stay 12 bytes");
     std::vector<DecEntry> table_;
+
+    // slow path: tree-walk one symbol starting from e (long code / tail)
+    uint64_t slow_one(const uint8_t* bytes, uint64_t bitpos, const DecEntry& e, T& out) const {
+        int node = int(e.v0) >= 0 ? int(e.v0) : root_;
+        uint64_t bp = int(e.v0) >= 0 ? bitpos + TABLE_BITS : bitpos;
+        while (!pool_leaf_[node]) {
+            int bit = (bytes[bp >> 3] >> (7 - (bp & 7))) & 1;
+            node = bit ? pool_r_[node] : pool_l_[node];
+            bp++;
+        }
+        out = T(int64_t(pool_sym_[node]) + int64_t(offset_));
+        return bp;
+    }
 
     int new_leaf(T sym, size_t freq) {
         pool_freq_.push_back(freq);
@@ -376,23 +396,42 @@ class Huffman {
     }
 
     void build_decode_table() {
-        table_.assign(size_t(1) << TABLE_BITS, DecEntry{0, -1, 0});
-        fill_table(root_, 0, 0);
-    }
-    void fill_table(int node, uint32_t prefix, int depth) {
-        if (pool_leaf_[node]) {
-            int shift = TABLE_BITS - depth;
-            uint32_t base = prefix << shift;
-            for (uint32_t i = 0; i < (uint32_t(1) << shift); i++)
-                table_[base + i] = DecEntry{int32_t(pool_sym_[node]), -1, uint8_t(depth)};
-            return;
+        table_.assign(size_t(1) << TABLE_BITS, DecEntry{});
+        if (pool_leaf_[root_]) return;  // constant stream never consults the table
+        const int64_t off64 = int64_t(offset_);
+        for (uint32_t p = 0; p < (1u << TABLE_BITS); p++) {
+            DecEntry e{};
+            int node = root_;
+            int pos = 0;
+            while (!pool_leaf_[node] && pos < TABLE_BITS) {
+                int bit = (p >> (TABLE_BITS - 1 - pos)) & 1;
+                node = bit ? pool_r_[node] : pool_l_[node];
+                pos++;
+            }
+            if (!pool_leaf_[node]) {
+                e.n = 0;
+                e.v0 = T(node);  // resume the walk here after TABLE_BITS bits
+                table_[p] = e;
+                continue;
+            }
+            e.v0 = T(int64_t(pool_sym_[node]) + off64);
+            e.d1 = uint8_t(pos);
+            e.len = uint8_t(pos);
+            e.n = 1;
+            int node2 = root_;
+            int pos2 = pos;
+            while (!pool_leaf_[node2] && pos2 < TABLE_BITS) {
+                int bit = (p >> (TABLE_BITS - 1 - pos2)) & 1;
+                node2 = bit ? pool_r_[node2] : pool_l_[node2];
+                pos2++;
+            }
+            if (pool_leaf_[node2] && pos2 > pos) {
+                e.v1 = T(int64_t(pool_sym_[node2]) + off64);
+                e.len = uint8_t(pos2);
+                e.n = 2;
+            }
+            table_[p] = e;
         }
-        if (depth == TABLE_BITS) {
-            table_[prefix] = DecEntry{0, node, 0};
-            return;
-        }
-        if (pool_l_[node] >= 0) fill_table(pool_l_[node], prefix << 1, depth + 1);
-        if (pool_r_[node] >= 0) fill_table(pool_r_[node], (prefix << 1) | 1, depth + 1);
     }
 
     static uint32_t peek_bits(const uint8_t* bytes, size_t nbytes, uint64_t bitpos,

@@ -12,8 +12,11 @@
 #ifndef SZT_PIPELINE_HPP
 #define SZT_PIPELINE_HPP
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <thread>
 #include <vector>
 
@@ -30,30 +33,60 @@
 
 namespace szt {
 
+// Scoped stage timer, printed only when SZT_DEBUG_TIMINGS is set
+// (the reference's SZ3_DEBUG_TIMINGS analog, utils/Timer.hpp:30-36).
+struct StageTimer {
+    const char* name;
+    std::chrono::steady_clock::time_point t0;
+    explicit StageTimer(const char* n) : name(n), t0(std::chrono::steady_clock::now()) {}
+    ~StageTimer() {
+        static const bool on = [] {
+            const char* e = std::getenv("SZT_DEBUG_TIMINGS");
+            return e && *e && std::string(e) != "0";
+        }();
+        if (on) {
+            auto dt = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0);
+            std::fprintf(stderr, "[szt] %s time = %.6f\n", name, dt.count());
+        }
+    }
+};
+
 // ---- generic [decomp|tree|count|bits] -> zstd stage -------------------------
 
 template <class T, class Decomp>
 std::vector<uint8_t> seal_payload(Decomp& decomp, const std::vector<int32_t>& bins, size_t cap) {
     Huffman<int32_t> huff;
-    huff.build(bins.data(), bins.size());
+    {
+        StageTimer t("huffman build");
+        huff.build(bins.data(), bins.size());
+    }
     Sink inner;
     inner.reserve(bins.size() / 2 + 4096);
     decomp.save(inner);
     huff.save(inner);
     inner.put<size_t>(bins.size());
-    huff.encode(bins.data(), bins.size(), inner);
+    {
+        StageTimer t("huffman encode");
+        huff.encode(bins.data(), bins.size(), inner);
+    }
+    StageTimer t("zstd compress");
     return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
 }
 
 template <class Decomp>
 void open_payload(Decomp& decomp, const uint8_t* cmp, size_t len, std::vector<int32_t>& bins) {
-    auto raw = zstd_unpack(cmp, len);
+    std::vector<uint8_t> raw;
+    {
+        StageTimer t("zstd decompress");
+        raw = zstd_unpack(cmp, len);
+    }
     Source src(raw.data(), raw.size());
     decomp.load(src);
     Huffman<int32_t> huff;
     huff.load(src);
     size_t count = src.template get<size_t>();
     bins.resize(count);
+    StageTimer t("huffman decode");
     huff.decode(src, count, bins.data());
 }
 
@@ -103,7 +136,10 @@ std::vector<uint8_t> compress_interp(Conf& conf, T* data, size_t cap) {
     default_anchor_stride(conf);
     auto codec = make_interp<T, N>(conf);
     std::vector<int32_t> bins(conf.num());
-    codec.compress(data, bins.data());
+    {
+        StageTimer t("interp sweep");
+        codec.compress(data, bins.data());
+    }
     return seal_payload<T>(codec, bins, cap);
 }
 
