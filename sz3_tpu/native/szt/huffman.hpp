@@ -43,8 +43,27 @@ class Huffman {
         }
         offset_ = lo;
         state_num_ = static_cast<uint32_t>(int64_t(hi) - int64_t(lo) + 2);
+        // 4-way split histogram: consecutive increments of the same bucket
+        // would stall on store-to-load forwarding in a single table
         std::vector<size_t> freq(state_num_, 0);
-        for (size_t i = 0; i < n; i++) freq[size_t(int64_t(bins[i]) - int64_t(lo))]++;
+        if (size_t(state_num_) * 4 <= (1u << 22)) {
+            std::vector<size_t> sub(size_t(state_num_) * 4, 0);
+            size_t* f0 = sub.data();
+            size_t* f1 = f0 + state_num_;
+            size_t* f2 = f1 + state_num_;
+            size_t* f3 = f2 + state_num_;
+            size_t i = 0;
+            for (; i + 4 <= n; i += 4) {
+                f0[size_t(int64_t(bins[i]) - int64_t(lo))]++;
+                f1[size_t(int64_t(bins[i + 1]) - int64_t(lo))]++;
+                f2[size_t(int64_t(bins[i + 2]) - int64_t(lo))]++;
+                f3[size_t(int64_t(bins[i + 3]) - int64_t(lo))]++;
+            }
+            for (; i < n; i++) f0[size_t(int64_t(bins[i]) - int64_t(lo))]++;
+            for (size_t s = 0; s < state_num_; s++) freq[s] = f0[s] + f1[s] + f2[s] + f3[s];
+        } else {
+            for (size_t i = 0; i < n; i++) freq[size_t(int64_t(bins[i]) - int64_t(lo))]++;
+        }
         build_from_freq(freq);
     }
 
