@@ -132,7 +132,15 @@ def main(argv=None):
     p.add_argument("-q", dest="quantbin", type=int, default=1024)
     p.add_argument("-z", dest="out", help="write archive here")
     p.add_argument("-o", dest="dec", help="write decompressed output here")
+    # reference positional tail: [batch_size [method [quantbin]]] (mdz.cpp:48-61)
+    p.add_argument("tail", nargs="*", type=int)
     a = p.parse_args(argv)
+    if a.tail:
+        a.batch = a.tail[0]
+        if len(a.tail) > 1:
+            a.method = {v: k for k, v in METHODS.items()}.get(a.tail[1], "ADP")
+        if len(a.tail) > 2:
+            a.quantbin = a.tail[2]
 
     shape = tuple(a.d1 or a.d2 or a.d3 or ())
     if not shape:

@@ -36,6 +36,9 @@ class Huffman {
     // stateNum argument; the effective alphabet is [min(bins), max(bins)].
     void build(const T* bins, size_t n) {
         if (n == 0) throw std::runtime_error("huffman: empty input");
+        // fast path: quant-bin domains are small non-negative ints, so one
+        // histogram pass replaces the min/max scan + shifted histogram
+        if (build_onepass(bins, n)) return;
         T lo = bins[0], hi = bins[0];
         for (size_t i = 0; i < n; i++) {
             lo = std::min(lo, bins[i]);
@@ -65,6 +68,35 @@ class Huffman {
             for (size_t i = 0; i < n; i++) freq[size_t(int64_t(bins[i]) - int64_t(lo))]++;
         }
         build_from_freq(freq);
+    }
+
+    // One-pass histogram over [0, 2^18); falls back (returns false) the
+    // moment a value leaves that window. Produces the identical tree: the
+    // frequency vector handed to build_from_freq matches the two-pass one.
+    bool build_onepass(const T* bins, size_t n) {
+        static constexpr uint32_t W = 1u << 18;
+        std::vector<size_t> table(W, 0);
+        size_t i = 0;
+        for (; i + 4 <= n; i += 4) {
+            uint32_t a = uint32_t(bins[i]), b = uint32_t(bins[i + 1]);
+            uint32_t c = uint32_t(bins[i + 2]), d = uint32_t(bins[i + 3]);
+            if ((a | b | c | d) >= W) return false;
+            table[a]++; table[b]++; table[c]++; table[d]++;
+        }
+        for (; i < n; i++) {
+            uint32_t v = uint32_t(bins[i]);
+            if (v >= W) return false;
+            table[v]++;
+        }
+        uint32_t lo = 0, hi = W - 1;
+        while (!table[lo]) lo++;
+        while (!table[hi]) hi--;
+        if (hi + 2 > W) return false;  // keep the +1 sentinel slot in range
+        offset_ = T(lo);
+        state_num_ = hi - lo + 2;
+        std::vector<size_t> freq(table.begin() + lo, table.begin() + lo + state_num_);
+        build_from_freq(freq);
+        return true;
     }
 
     void build_from_freq(const std::vector<size_t>& freq) {

@@ -59,18 +59,31 @@ class InterpCodec {
     // reconstruction. Unpred literals accumulate in `quant` across calls
     // (deliberate: the tuner compresses several sampled blocks back to back
     // and serializes the union, reference SZAlgoInterp.hpp:43-76).
-    void compress(T* data, int32_t* quant_out) {
+    void compress(T* data, int32_t* quant_out) { compress_into(data, data, quant_out); }
+
+    // Same sweep without mutating the source: reconstructions land in `work`
+    // (uninitialized, num_elements); predictions read `work` (coarser levels
+    // are already reconstructed there), original values read `src` at the
+    // mirrored offset. Bit-identical to the in-place sweep — lets the
+    // dispatcher skip its defensive full-array copy.
+    void compress_into(const T* src, T* work, int32_t* quant_out) {
         init();
         qbuf_ = quant_out;
         qpos_ = 0;
+        const ptrdiff_t delta = src - work;
         double eb = quant.eb();
         if (anchor_stride == 0) {
-            qbuf_[qpos_++] = quant.quantize(*data, T(0));
+            qbuf_[qpos_++] = quant.quantize_from(*(work + delta), T(0), *work);
         } else {
-            foreach_anchor(data, [&](T* d) { qbuf_[qpos_++] = quant.save_literal(*d); });
+            foreach_anchor(work, [&](T* d) {
+                *d = *(d + delta);
+                qbuf_[qpos_++] = quant.save_literal(*d);
+            });
             levels_--;
         }
-        level_loop(data, eb, [&](T* d, T pred) { qbuf_[qpos_++] = quant.quantize(*d, pred); });
+        level_loop(work, eb, [&](T* d, T pred) {
+            qbuf_[qpos_++] = quant.quantize_from(*(d + delta), pred, *d);
+        });
         quant.set_eb(eb);
     }
 

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -97,8 +98,11 @@ struct NopredCodec {
     LinearQuantizer<T> quant;
     size_t n = 0;
 
-    void compress(T* data, int32_t* bins) {
-        for (size_t i = 0; i < n; i++) bins[i] = quant.quantize(data[i], T(0));
+    void compress(const T* data, int32_t* bins) {
+        // reconstructions never feed later predictions here, so they are
+        // discarded and the input stays const
+        T scratch;
+        for (size_t i = 0; i < n; i++) bins[i] = quant.quantize_from(data[i], T(0), scratch);
     }
     void decompress(const int32_t* bins, T* out) {
         for (size_t i = 0; i < n; i++) out[i] = quant.recover(T(0), bins[i]);
@@ -132,13 +136,16 @@ inline void default_anchor_stride(Conf& conf) {
 }
 
 template <class T, int N>
-std::vector<uint8_t> compress_interp(Conf& conf, T* data, size_t cap) {
+std::vector<uint8_t> compress_interp(Conf& conf, const T* data, size_t cap) {
     default_anchor_stride(conf);
     auto codec = make_interp<T, N>(conf);
     std::vector<int32_t> bins(conf.num());
+    // reconstructions land in a scratch buffer; `data` stays untouched
+    // (replaces the dispatcher-level defensive copy)
+    std::unique_ptr<T[]> work(new T[conf.num()]);
     {
         StageTimer t("interp sweep");
-        codec.compress(data, bins.data());
+        codec.compress_into(data, work.get(), bins.data());
     }
     return seal_payload<T>(codec, bins, cap);
 }
@@ -153,7 +160,7 @@ void decompress_interp(const Conf& conf, const uint8_t* cmp, size_t len, T* out)
 }
 
 template <class T, int N>
-std::vector<uint8_t> compress_nopred(Conf& conf, T* data, size_t cap) {
+std::vector<uint8_t> compress_nopred(Conf& conf, const T* data, size_t cap) {
     NopredCodec<T> codec;
     codec.n = conf.num();
     codec.quant = LinearQuantizer<T>(conf.absErrorBound, conf.quantbinCnt / 2);
@@ -185,10 +192,15 @@ BlockwiseCodec<T, N> make_blockwise(const Conf& conf) {
 }
 
 template <class T, int N>
-std::vector<uint8_t> compress_lorenzo_reg(Conf& conf, T* data, size_t cap) {
+std::vector<uint8_t> compress_lorenzo_reg(Conf& conf, const T* data, size_t cap) {
     auto codec = make_blockwise<T, N>(conf);
     std::vector<int32_t> bins(conf.num());
-    codec.compress(data, bins.data());
+    {
+        StageTimer t("blockwise sweep");
+        // the compress-mode PaddedGrid owns its scratch copy and never writes
+        // back (blockwise.hpp grid.finish()), so the input is effectively const
+        codec.compress(const_cast<T*>(data), bins.data());
+    }
     return seal_payload<T>(codec, bins, cap);
 }
 
@@ -549,7 +561,7 @@ void tune_interp_lorenzo(Conf& conf, const T* data) {
 }
 
 template <class T, int N>
-std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, T* data, size_t cap) {
+std::vector<uint8_t> compress_interp_lorenzo(Conf& conf, const T* data, size_t cap) {
     tune_interp_lorenzo<T, N>(conf, data);
     if (Algo(conf.cmprAlgo) == Algo::INTERP) return compress_interp<T, N>(conf, data, cap);
     return compress_lorenzo_reg<T, N>(conf, data, cap);
@@ -566,16 +578,26 @@ std::vector<uint8_t> compress_dispatch(Conf& conf, const T* data, size_t cap) {
     bool cap_ok = true;
     if (Algo(conf.cmprAlgo) != Algo::LOSSLESS) {
         try {
-            std::vector<T> copy(data, data + conf.num());
+            // the four main algorithms never mutate the input here (interp
+            // reconstructs into scratch, blockwise pads into scratch, nopred
+            // discards reconstructions) — no defensive copy needed, unlike
+            // the reference's dataCopy (SZDispatcher.hpp:27)
             switch (Algo(conf.cmprAlgo)) {
-                case Algo::LORENZO_REG: out = compress_lorenzo_reg<T, N>(conf, copy.data(), cap); break;
-                case Algo::INTERP: out = compress_interp<T, N>(conf, copy.data(), cap); break;
-                case Algo::INTERP_LORENZO: out = compress_interp_lorenzo<T, N>(conf, copy.data(), cap); break;
-                case Algo::NOPRED: out = compress_nopred<T, N>(conf, copy.data(), cap); break;
-                // BioMD paths return directly — no lossless-ratio fallback
+                case Algo::LORENZO_REG: out = compress_lorenzo_reg<T, N>(conf, data, cap); break;
+                case Algo::INTERP: out = compress_interp<T, N>(conf, data, cap); break;
+                case Algo::INTERP_LORENZO: out = compress_interp_lorenzo<T, N>(conf, data, cap); break;
+                case Algo::NOPRED: out = compress_nopred<T, N>(conf, data, cap); break;
+                // BioMD decompositions DO mutate their input (overwrite with
+                // reconstructions) and return directly — no ratio fallback
                 // (reference SZDispatcher.hpp:36-39)
-                case Algo::BIOMD: return compress_biomd<T, N>(conf, copy.data(), cap);
-                case Algo::BIOMDXTC: return compress_biomdxtc<T, N>(conf, copy.data(), cap);
+                case Algo::BIOMD: {
+                    std::vector<T> copy(data, data + conf.num());
+                    return compress_biomd<T, N>(conf, copy.data(), cap);
+                }
+                case Algo::BIOMDXTC: {
+                    std::vector<T> copy(data, data + conf.num());
+                    return compress_biomdxtc<T, N>(conf, copy.data(), cap);
+                }
                 default: throw std::runtime_error("unknown compression algorithm");
             }
         } catch (buffer_too_small&) {

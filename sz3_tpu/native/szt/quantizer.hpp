@@ -59,6 +59,15 @@ class LinearQuantizer {
         return 0;
     }
 
+    // quantize() against a source value, writing the reconstruction to a
+    // separate slot (same arithmetic; lets sweeps leave the input unmutated)
+    inline int quantize_from(T src, T pred, T& recon_out) {
+        T v = src;
+        int q = quantize(v, pred);
+        recon_out = v;
+        return q;
+    }
+
     inline T recover(T pred, int q) {
         if (q) return static_cast<T>(pred + double(2 * (int64_t(q) - radius_)) * eb_);
         return unpred[unpred_pos_++];
