@@ -24,7 +24,9 @@
 #include <algorithm>
 #include <array>
 #include <cmath>
+#include <cstddef>
 #include <cstdint>
+#include <type_traits>
 #include <vector>
 
 #include "common.hpp"
@@ -65,7 +67,8 @@ class InterpCodec {
     // (uninitialized, num_elements); predictions read `work` (coarser levels
     // are already reconstructed there), original values read `src` at the
     // mirrored offset. Bit-identical to the in-place sweep — lets the
-    // dispatcher skip its defensive full-array copy.
+    // dispatcher skip its defensive full-array copy. Interior points run
+    // through the branch-free bulk kernels (see BulkCompress).
     void compress_into(const T* src, T* work, int32_t* quant_out) {
         init();
         qbuf_ = quant_out;
@@ -81,9 +84,8 @@ class InterpCodec {
             });
             levels_--;
         }
-        level_loop(work, eb, [&](T* d, T pred) {
-            qbuf_[qpos_++] = quant.quantize_from(*(d + delta), pred, *d);
-        });
+        BulkCompress fn{this, delta};
+        level_loop(work, eb, fn);
         quant.set_eb(eb);
     }
 
@@ -99,7 +101,8 @@ class InterpCodec {
             });
             levels_--;
         }
-        level_loop(out, eb, [&](T* d, T pred) { *d = quant.recover(pred, quant_in[qpos_++]); });
+        BulkRecover fn{this, quant_in};
+        level_loop(out, eb, fn);
     }
 
     // Visit every stream slot in archive order without touching the
@@ -147,6 +150,96 @@ class InterpCodec {
     }
 
     size_t quant_consumed() const { return qpos_; }
+
+    // ---- bulk (branch-free, vectorizable) point kernels ---------------------
+    // Interior points of a pass read only the coarser grid, so a whole inner
+    // row can run without the quantizer's data-dependent branch: compute
+    // bins/reconstructions unconditionally, then fix the (rare) unpredictable
+    // points in stream order. Arithmetic mirrors LinearQuantizer exactly
+    // (the int cast is clamped like the device kernel; semantics unchanged).
+    // NOTE: no bulk_tag here — the branch-free compress kernel measured
+    // SLOWER than the branchy scalar on x86 (the verify chain doesn't
+    // auto-vectorize with runtime strides, and the unpred branch predicts
+    // ~perfectly), so compression stays scalar; decode keeps its bulk path
+    // (see BulkRecover), which did win.
+    struct BulkCompress {
+        InterpCodec* s;
+        ptrdiff_t delta;  // src - work
+
+        inline void operator()(T* d, T pred) {
+            s->qbuf_[s->qpos_++] = s->quant.quantize_from(*(d + delta), pred, *d);
+        }
+
+        template <class P>
+        inline void run(T* d0, size_t m, size_t st, P&& pred_of) {
+            LinearQuantizer<T>& q = s->quant;
+            const double eb = q.eb(), recip = q.recip();
+            const int radius = q.radius();
+            const double clampv = double(2 * radius);
+            const ptrdiff_t dl = delta;
+            int32_t* qout = s->qbuf_ + s->qpos_;
+            bool any_unpred = false;
+            for (size_t t = 0; t < m; t++) {
+                T* d = d0 + t * st;
+                T pred = pred_of(d);
+                T orig = *(d + dl);
+                T diff = orig - pred;
+                double scaled = std::fabs(double(diff)) * recip;
+                // NaN compares false -> clamp, same as fmin(NaN, clamp)
+                double sc = scaled < clampv ? scaled : clampv;
+                int32_t qi = int32_t(sc) + 1;
+                int32_t half = qi >> 1;
+                int32_t qe = half << 1;
+                bool neg = diff < T(0);
+                T dec = T(double(pred) + double(neg ? -qe : qe) * eb);
+                double err = std::fabs(double(dec - orig));
+                bool ok = (qi < 2 * radius) & (err <= eb);
+                qout[t] = ok ? (neg ? radius - half : radius + half) : 0;
+                *d = ok ? dec : orig;
+                any_unpred |= !ok;
+            }
+            s->qpos_ += m;
+            if (any_unpred)
+                for (size_t t = 0; t < m; t++)
+                    if (!qout[t]) q.push_unpred(*(d0 + t * st));
+        }
+    };
+
+    struct BulkRecover {
+        using bulk_tag = void;
+        InterpCodec* s;
+        const int32_t* qin;
+
+        inline void operator()(T* d, T pred) { *d = s->quant.recover(pred, qin[s->qpos_++]); }
+
+        template <class P>
+        inline void run(T* d0, size_t m, size_t st, P&& pred_of) {
+            LinearQuantizer<T>& q = s->quant;
+            const double eb = q.eb();
+            const int radius = q.radius();
+            const int32_t* qrow = qin + s->qpos_;
+            bool any_zero = false;
+            // interior predictions read only coarse (even) positions, never
+            // this pass's outputs, so provisional writes for bin-0 lanes are
+            // harmless and get fixed in stream order below
+            for (size_t t = 0; t < m; t++) {
+                T* d = d0 + t * st;
+                int32_t b = qrow[t];
+                T pred = pred_of(d);
+                *d = T(double(pred) + double(2 * (int64_t(b) - radius)) * eb);
+                any_zero |= (b == 0);
+            }
+            s->qpos_ += m;
+            if (any_zero)
+                for (size_t t = 0; t < m; t++)
+                    if (!qrow[t]) *(d0 + t * st) = q.recover_unpred();
+        }
+    };
+
+    template <class F, class = void>
+    struct has_bulk : std::false_type {};
+    template <class F>
+    struct has_bulk<F, std::void_t<typename F::bulk_tag>> : std::true_type {};
 
   private:
     int levels_ = -1;
@@ -279,9 +372,16 @@ class InterpCodec {
         if (n <= 1) return;
         size_t s1 = stride, s3 = 3 * stride, s5 = 5 * stride;
         if (interp_id == 0 || n < 5) {
-            for (size_t i = 1; i + 1 < n; i += 2) {
-                T* d = data + begin + i * stride;
-                f(d, ip_linear(*(d - s1), *(d + s1)));
+            if constexpr (has_bulk<std::decay_t<F>>::value) {
+                size_t m = (n - 1) / 2;
+                if (m)
+                    f.run(data + begin + stride, m, 2 * stride,
+                          [&](T* d) { return ip_linear(*(d - s1), *(d + s1)); });
+            } else {
+                for (size_t i = 1; i + 1 < n; i += 2) {
+                    T* d = data + begin + i * stride;
+                    f(d, ip_linear(*(d - s1), *(d + s1)));
+                }
             }
             if (n % 2 == 0) {
                 T* d = data + begin + (n - 1) * stride;
@@ -290,10 +390,20 @@ class InterpCodec {
             }
         } else {
             T* d;
-            size_t i;
-            for (i = 3; i + 3 < n; i += 2) {
-                d = data + begin + i * stride;
-                f(d, ip_cubic(*(d - s3), *(d - s1), *(d + s1), *(d + s3)));
+            size_t i = 3;
+            if constexpr (has_bulk<std::decay_t<F>>::value) {
+                size_t m = n >= 7 ? (n - 7) / 2 + 1 : 0;
+                if (m) {
+                    f.run(data + begin + 3 * stride, m, 2 * stride, [&](T* dd) {
+                        return ip_cubic(*(dd - s3), *(dd - s1), *(dd + s1), *(dd + s3));
+                    });
+                    i = 3 + 2 * m;
+                }
+            } else {
+                for (; i + 3 < n; i += 2) {
+                    d = data + begin + i * stride;
+                    f(d, ip_cubic(*(d - s3), *(d - s1), *(d + s1), *(d + s3)));
+                }
             }
             d = data + begin + stride;
             f(d, ip_quad1(*(d - s1), *(d + s1), *(d + s3)));
@@ -331,8 +441,17 @@ class InterpCodec {
             begins[dd] = 1;
             ends[dd] = n - 1;
             strides[dd] = 2;
-            foreach_grid(data, offset, begins, ends, strides, dof,
-                         [&](T* d) { f(d, ip_linear(*(d - stride), *(d + stride))); });
+            if constexpr (has_bulk<std::decay_t<F>>::value) {
+                foreach_rows(data, offset, begins, ends, strides, dof,
+                             [&](T* row, size_t m, size_t rst) {
+                                 f.run(row, m, rst, [&](T* d) {
+                                     return ip_linear(*(d - stride), *(d + stride));
+                                 });
+                             });
+            } else {
+                foreach_grid(data, offset, begins, ends, strides, dof,
+                             [&](T* d) { f(d, ip_linear(*(d - stride), *(d + stride))); });
+            }
             if (n % 2 == 0) {
                 begins[dd] = n - 1;
                 ends[dd] = n;
@@ -346,9 +465,19 @@ class InterpCodec {
             begins[dd] = 3;
             ends[dd] = (n >= 3) ? (n - 3) : 0;
             strides[dd] = 2;
-            foreach_grid(data, offset, begins, ends, strides, dof, [&](T* d) {
-                f(d, ip_cubic(*(d - s3), *(d - stride), *(d + stride), *(d + s3)));
-            });
+            if constexpr (has_bulk<std::decay_t<F>>::value) {
+                foreach_rows(data, offset, begins, ends, strides, dof,
+                             [&](T* row, size_t m, size_t rst) {
+                                 f.run(row, m, rst, [&](T* d) {
+                                     return ip_cubic(*(d - s3), *(d - stride), *(d + stride),
+                                                     *(d + s3));
+                                 });
+                             });
+            } else {
+                foreach_grid(data, offset, begins, ends, strides, dof, [&](T* d) {
+                    f(d, ip_cubic(*(d - s3), *(d - stride), *(d + stride), *(d + s3)));
+                });
+            }
             size_t bounds[3];
             int nb = 0;
             bounds[nb++] = 1;
@@ -377,6 +506,34 @@ class InterpCodec {
                     }
                 });
             }
+        }
+    }
+
+    // Like foreach_grid but hands whole inner rows (count + element step) to
+    // the callback, for the bulk point kernels.
+    template <class G>
+    static void foreach_rows(T* data, size_t offset, const idx_t& begins, const idx_t& ends,
+                             const idx_t& strides, const idx_t& dof, G&& g) {
+        size_t m = ends[N - 1] > begins[N - 1]
+                       ? (ends[N - 1] - begins[N - 1] + strides[N - 1] - 1) / strides[N - 1]
+                       : 0;
+        if (!m) return;
+        size_t rst = strides[N - 1] * dof[N - 1];
+        size_t base = offset + begins[N - 1] * dof[N - 1];
+        if constexpr (N == 1) {
+            g(data + base, m, rst);
+        } else if constexpr (N == 2) {
+            for (size_t i = begins[0]; i < ends[0]; i += strides[0])
+                g(data + base + i * dof[0], m, rst);
+        } else if constexpr (N == 3) {
+            for (size_t i = begins[0]; i < ends[0]; i += strides[0])
+                for (size_t j = begins[1]; j < ends[1]; j += strides[1])
+                    g(data + base + i * dof[0] + j * dof[1], m, rst);
+        } else {
+            for (size_t i = begins[0]; i < ends[0]; i += strides[0])
+                for (size_t j = begins[1]; j < ends[1]; j += strides[1])
+                    for (size_t k = begins[2]; k < ends[2]; k += strides[2])
+                        g(data + base + i * dof[0] + j * dof[1] + k * dof[2], m, rst);
         }
     }
 

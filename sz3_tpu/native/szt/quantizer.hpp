@@ -25,11 +25,13 @@ class LinearQuantizer {
         : eb_(eb), recip_(1.0 / eb), radius_(radius), strict_(strict) {}
 
     double eb() const { return eb_; }
+    double recip() const { return recip_; }
     void set_eb(double eb) {
         eb_ = eb;
         recip_ = 1.0 / eb;
     }
     int radius() const { return radius_; }
+    void push_unpred(T v) { unpred.push_back(v); }
     int out_range_hi() const { return radius_ * 2; }
 
     // Quantize data against a prediction; overwrites data with its
