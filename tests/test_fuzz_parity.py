@@ -62,7 +62,7 @@ def synth(shape, dtype, kind, rng):
     return np.ascontiguousarray(f, dtype=dtype)
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzz_archive_parity(tmp_path, seed):
     rng = np.random.default_rng(1000 + seed)
     shape, dtype, kind, mode, args, algo_ini = random_case(rng)
