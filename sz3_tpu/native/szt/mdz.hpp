@@ -39,6 +39,7 @@
 #include "common.hpp"
 #include "huffman.hpp"
 #include "kmeans.hpp"
+#include "pipeline.hpp"  // seal_payload/open_payload + BlockwiseCodec glue
 #include "quantizer.hpp"
 #include "zstd_wrap.hpp"
 
@@ -219,41 +220,24 @@ struct TimeSeriesCodec {
     void load(Source& s) { quant.load(s); }
 };
 
-// seal/open for [codec][huff][count][bits] -> zstd (same layout the generic
-// pipeline uses; declared in pipeline.hpp but repeated here to keep mdz.hpp
-// independently includable)
 template <class T>
 std::vector<uint8_t> mdz_seal_ts(TimeSeriesCodec<T>& codec, const std::vector<int32_t>& bins,
                                  size_t cap) {
-    Huffman<int32_t> huff;
-    huff.build(bins.data(), bins.size());
-    Sink inner;
-    inner.reserve(bins.size() / 2 + 4096);
-    codec.save(inner);
-    huff.save(inner);
-    inner.put<size_t>(bins.size());
-    huff.encode(bins.data(), bins.size(), inner);
-    return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+    return seal_payload<T>(codec, bins, cap);
 }
 
 template <class T>
 void mdz_open_ts(TimeSeriesCodec<T>& codec, const uint8_t* cmp, size_t len, T* out) {
-    auto raw = zstd_unpack(cmp, len);
-    Source src(raw.data(), raw.size());
-    codec.load(src);
-    Huffman<int32_t> huff;
-    huff.load(src);
-    size_t count = src.template get<size_t>();
-    std::vector<int32_t> bins(count);
-    huff.decode(src, count, bins.data());
+    std::vector<int32_t> bins;
+    open_payload(codec, cmp, len, bins);
     codec.decompress(bins, out);
 }
 
 // ---- LR: SZ2-style blockwise compressor over the 2D batch -------------------
 
 template <class T>
-std::vector<uint8_t> mdz_lr_compress(size_t frames, size_t atoms, double abs_eb, int quantbin,
-                                     int block_size, T* data, size_t cap) {
+BlockwiseCodec<T, 2> mdz_lr_codec(size_t frames, size_t atoms, double abs_eb, int quantbin,
+                                  int block_size) {
     BlockwiseCodec<T, 2> codec;
     codec.dims = {frames, atoms};
     codec.block_size = block_size;
@@ -262,36 +246,24 @@ std::vector<uint8_t> mdz_lr_compress(size_t frames, size_t atoms, double abs_eb,
     codec.use_regression = true;
     codec.eb = abs_eb;
     codec.quant = LinearQuantizer<T>(abs_eb, quantbin / 2);
+    return codec;
+}
+
+template <class T>
+std::vector<uint8_t> mdz_lr_compress(size_t frames, size_t atoms, double abs_eb, int quantbin,
+                                     int block_size, T* data, size_t cap) {
+    auto codec = mdz_lr_codec<T>(frames, atoms, abs_eb, quantbin, block_size);
     std::vector<int32_t> bins(frames * atoms);
     codec.compress(data, bins.data());
-    Huffman<int32_t> huff;
-    huff.build(bins.data(), bins.size());
-    Sink inner;
-    inner.reserve(bins.size() / 2 + 4096);
-    codec.save(inner);
-    huff.save(inner);
-    inner.put<size_t>(bins.size());
-    huff.encode(bins.data(), bins.size(), inner);
-    return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+    return seal_payload<T>(codec, bins, cap);
 }
 
 template <class T>
 void mdz_lr_decompress(size_t frames, size_t atoms, int block_size, const uint8_t* cmp, size_t len,
                        T* out) {
-    BlockwiseCodec<T, 2> codec;
-    codec.dims = {frames, atoms};
-    codec.block_size = block_size;
-    codec.use_lorenzo = true;
-    codec.use_lorenzo2 = false;
-    codec.use_regression = true;
-    auto raw = zstd_unpack(cmp, len);
-    Source src(raw.data(), raw.size());
-    codec.load(src);
-    Huffman<int32_t> huff;
-    huff.load(src);
-    size_t count = src.template get<size_t>();
-    std::vector<int32_t> bins(count);
-    huff.decode(src, count, bins.data());
+    auto codec = mdz_lr_codec<T>(frames, atoms, /*abs_eb=*/1.0, /*quantbin=*/65536, block_size);
+    std::vector<int32_t> bins;
+    open_payload(codec, cmp, len, bins);
     codec.decompress(bins.data(), out);
 }
 
