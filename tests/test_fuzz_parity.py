@@ -114,3 +114,46 @@ def test_fuzz_archive_parity(tmp_path, seed):
     # both directions decode bit-exactly
     out, _ = szt.decompress(ref_blob, dtype=np.dtype(dtype))
     assert np.array_equal(out.ravel(), ref_out), f"cross-decode differs for {label}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_biomd_parity(tmp_path, seed):
+    """Random MD-trajectory cases through ALGO_BIOMD / ALGO_BIOMDXTC."""
+    rng = np.random.default_rng(2000 + seed)
+    frames = int(rng.integers(4, 48))
+    atoms = int(rng.integers(30, 700))
+    site = int(rng.choice([3, 4, 5, 0]))  # water-model period (0 = unstructured)
+    fill_tail = int(rng.integers(0, max(1, frames // 3))) if rng.random() < 0.4 else 0
+    algo = str(rng.choice(["ALGO_BIOMD", "ALGO_BIOMDXTC"]))
+    eb = float(rng.choice([1e-2, 1e-3, 1e-4]))
+
+    if site:
+        base = rng.uniform(-8, 8, (atoms // site + 1, 1, 3)).repeat(site, axis=1)
+        base = (base + rng.normal(0, 0.05, base.shape)).reshape(-1, 3)[:atoms]
+    else:
+        base = rng.uniform(-8, 8, (atoms, 3))
+    traj = base[None] + np.cumsum(rng.normal(0, 0.01, (frames, atoms, 3)), axis=0)
+    if fill_tail:
+        traj[-fill_tail:] = -2.5
+    arr = np.ascontiguousarray(traj, dtype=np.float32)
+
+    datf = tmp_path / "t.dat"
+    szf = tmp_path / "t.sz"
+    outf = tmp_path / "t.out"
+    arr.tofile(datf)
+    ini = tmp_path / "b.ini"
+    ini.write_text(f"[GlobalSettings]\nCmprAlgo = {algo}\n")
+    r = subprocess.run([str(REF), "-f", "-i", str(datf), "-z", str(szf), "-o", str(outf),
+                        "-3", "3", str(atoms), str(frames), "-M", "ABS", str(eb),
+                        "-c", str(ini)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    from sz3_tpu.config import ALGO
+    conf = Config(dims=arr.shape, cmprAlgo=ALGO[algo.replace("ALGO_", "")], absErrorBound=eb)
+    ours = szt.compress(arr, conf, set_datatype=False)
+    label = f"F{frames} A{atoms} site{site} fill{fill_tail} {algo} eb{eb}"
+    assert hashlib.sha256(ours).hexdigest() == hashlib.sha256(szf.read_bytes()).hexdigest(), \
+        f"archive bytes differ for {label}"
+    out, _ = szt.decompress(szf.read_bytes(), dtype=np.float32)
+    assert np.array_equal(out.ravel(), np.fromfile(outf, dtype=np.float32)), \
+        f"cross-decode differs for {label}"
