@@ -1,0 +1,50 @@
+"""Batched (vmapped) multi-field compression API."""
+
+import numpy as np
+import pytest
+
+import sz3_tpu as szt
+from sz3_tpu.config import ALGO, Config
+from sz3_tpu.serving import compress_batch, decompress_batch
+
+
+def stack(b=4, n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.exp(np.cumsum(rng.standard_normal((b, n, n, n)).astype(np.float32),
+                            axis=-1) * 0.05)
+
+
+class TestServing:
+    def test_archives_match_single_field(self):
+        fields = stack()
+        conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP, absErrorBound=1e-3)
+        blobs = compress_batch(fields, conf)
+        for i in (0, 3):
+            single = szt.compress(fields[i], Config(dims=fields.shape[1:],
+                                                    cmprAlgo=ALGO.INTERP, absErrorBound=1e-3))
+            assert blobs[i] == single
+
+    def test_roundtrip_stack(self):
+        fields = stack(b=3)
+        conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP, absErrorBound=1e-3)
+        out = decompress_batch(compress_batch(fields, conf))
+        assert out.shape == fields.shape
+        assert np.abs(out - fields).max() <= 1e-3
+
+    def test_archives_standard(self):
+        """Every batch element is a normal SZ3 container any decoder opens."""
+        fields = stack(b=2)
+        conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP, absErrorBound=1e-3)
+        for i, blob in enumerate(compress_batch(fields, conf)):
+            out, used = szt.decompress(blob)
+            assert np.abs(out - fields[i]).max() <= 1e-3
+
+    def test_default_algo_pins_interp(self):
+        fields = stack(b=2)
+        blobs = compress_batch(fields)  # INTERP_LORENZO default -> INTERP
+        out = decompress_batch(blobs)
+        assert np.abs(out - fields).max() <= 1e-3
+
+    def test_rejects_non_stack(self):
+        with pytest.raises(ValueError):
+            compress_batch(np.zeros(10, np.float32))
