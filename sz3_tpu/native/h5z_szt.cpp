@@ -171,17 +171,24 @@ size_t h5z_szt_filter(unsigned flags, size_t cd_nelmts, const unsigned cd_values
         bool is_decompress = flags & H5Z_FLAG_REVERSE;
         size_t out_size = 0;
         void* out_buf = nullptr;
+        // free the staging buffer if the codec throws mid-chunk
+        struct Guard {
+            void** p;
+            ~Guard() { if (*p) std::free(*p); }
+        } guard{&out_buf};
         auto run = [&](auto* tp) {
             using T = std::remove_pointer_t<decltype(tp)>;
             if (is_decompress) {
                 Conf k;
                 out_buf = std::malloc(conf.num() * sizeof(T));
+                if (!out_buf) throw std::bad_alloc();
                 container_decompress<T>(static_cast<const uint8_t*>(*buf), nbytes, k,
                                         static_cast<T*>(out_buf));
                 out_size = conf.num() * sizeof(T);
             } else {
                 auto blob = container_compress<T>(conf, static_cast<const T*>(*buf));
                 out_buf = std::malloc(blob.size());
+                if (!out_buf) throw std::bad_alloc();
                 std::memcpy(out_buf, blob.data(), blob.size());
                 out_size = blob.size();
             }
@@ -201,6 +208,7 @@ size_t h5z_szt_filter(unsigned flags, size_t cd_nelmts, const unsigned cd_values
         }
         std::free(*buf);
         *buf = out_buf;
+        out_buf = nullptr;  // ownership handed to HDF5; disarm the guard
         *buf_size = out_size;
         return out_size;
     } catch (const std::exception& e) {

@@ -75,6 +75,9 @@ class Huffman {
     // frequency vector handed to build_from_freq matches the two-pass one.
     bool build_onepass(const T* bins, size_t n) {
         static constexpr uint32_t W = 1u << 18;
+        // not worth the 2 MB zero-fill + tail scans for small streams
+        // (selection/coefficient side channels, tuner trials)
+        if (n < (size_t(1) << 16)) return false;
         std::vector<size_t> table(W, 0);
         size_t i = 0;
         for (; i + 4 <= n; i += 4) {
@@ -237,7 +240,7 @@ class Huffman {
                 out[k++] = e.v0;
                 bitpos += e.d1;
             } else {
-                bitpos = slow_one(bytes, bitpos, e, out[k++]);
+                bitpos = slow_one(bytes, bitpos, total_bits, e, out[k++]);
             }
         }
         for (; k < count; k++) {
@@ -297,14 +300,19 @@ class Huffman {
     static_assert(sizeof(DecEntry) == 12, "DecEntry must stay 12 bytes");
     std::vector<DecEntry> table_;
 
-    // slow path: tree-walk one symbol starting from e (long code / tail)
-    uint64_t slow_one(const uint8_t* bytes, uint64_t bitpos, const DecEntry& e, T& out) const {
+    // slow path: tree-walk one symbol starting from e (long code / tail);
+    // bounded by the stream end (reads past it decode as 0-bits) and by the
+    // node count (a malformed cyclic tree throws instead of spinning)
+    uint64_t slow_one(const uint8_t* bytes, uint64_t bitpos, uint64_t total_bits,
+                      const DecEntry& e, T& out) const {
         int node = int(e.v0) >= 0 ? int(e.v0) : root_;
         uint64_t bp = int(e.v0) >= 0 ? bitpos + TABLE_BITS : bitpos;
+        uint32_t steps = 0;
         while (!pool_leaf_[node]) {
-            int bit = (bytes[bp >> 3] >> (7 - (bp & 7))) & 1;
+            int bit = bp < total_bits ? (bytes[bp >> 3] >> (7 - (bp & 7))) & 1 : 0;
             node = bit ? pool_r_[node] : pool_l_[node];
             bp++;
+            if (++steps > node_count_) throw std::runtime_error("huffman: malformed code walk");
         }
         out = T(int64_t(pool_sym_[node]) + int64_t(offset_));
         return bp;
@@ -439,8 +447,13 @@ class Huffman {
         pool_r_.assign(node_count_, -1);
         for (uint32_t i = 0; i < node_count_; i++) {
             if (!t[i]) {
-                if (L[i]) pool_l_[i] = int(L[i]);
-                if (R[i]) pool_r_[i] = int(R[i]);
+                // internal nodes need two in-range children (index 0 is the
+                // root and can never be a child in the padded format)
+                if (!L[i] || !R[i] || uint32_t(L[i]) >= node_count_ ||
+                    uint32_t(R[i]) >= node_count_)
+                    throw std::runtime_error("huffman: malformed serialized tree");
+                pool_l_[i] = int(L[i]);
+                pool_r_[i] = int(R[i]);
             }
         }
         root_ = 0;

@@ -18,7 +18,7 @@
 // sizes); this implementation adds a self-describing archive so MDZ streams
 // actually round-trip through files:
 //   [magic "MDZ1"][u8 dtype][u8 ndim][u64 dims x ndim][u8 eb_mode][f64 eb]
-//   [u64 batch_size][i32 quantbinCnt][u8 has_ts0]
+//   [u64 batch_size][i32 quantbinCnt][i32 blockSize][u8 has_ts0]
 //   [ts0: u64 zlen + zstd frame]            (present iff any MT batch)
 //   [u32 nbatches]
 //   per batch: [u8 method][f32 level_start][f32 level_offset][i32 level_num]
@@ -389,6 +389,10 @@ std::vector<uint8_t> mdz_compress_2d(const MdzParams& p, const T* input) {
         T mx = *std::max_element(data, data + n);
         T mn = *std::min_element(data, data + n);
         if (p.eb_mode == 1) abs_eb = p.eb * double(mx - mn);  // REL per batch (:419-420)
+        // constant batches (fill/padded frames) give a zero range -> zero eb,
+        // which is UB in the quantizer (the reference has the same hole);
+        // any positive bound is exact on constant data
+        if (!(abs_eb > 0)) abs_eb = 1.0;
 
         if (method_batch > 0 && (ts / batch) % method_batch == 0) {
             current = detail::mdz_select<T>(ts, frames, atoms, abs_eb, p, level_start,
@@ -419,6 +423,7 @@ std::vector<uint8_t> mdz_compress_2d(const MdzParams& p, const T* input) {
     out.put<double>(p.eb);
     out.put<uint64_t>(batch);
     out.put<int32_t>(p.quantbin);
+    out.put<int32_t>(p.block_size);  // LR batches need it to re-grid on decode
     out.put<uint8_t>(used_mt ? 1 : 0);
     if (used_mt) {
         auto z = zstd_pack(reinterpret_cast<const uint8_t*>(ts0.data()), atoms * sizeof(T),
@@ -441,7 +446,7 @@ std::vector<uint8_t> mdz_compress_2d(const MdzParams& p, const T* input) {
 
 template <class T>
 void mdz_decompress_2d(Source& src, const std::vector<size_t>& dims, size_t batch,
-                       int32_t quantbin, int32_t block_size, T* out) {
+                       int32_t block_size, T* out) {
     size_t total_frames = dims.size() == 2 ? dims[0] : 1;
     size_t atoms = dims.back();
     uint8_t has_ts0 = src.get<uint8_t>();
@@ -573,7 +578,9 @@ void mdz_decompress(const uint8_t* blob, size_t len, T* out) {
     src.get<double>();   // eb
     uint64_t batch = src.get<uint64_t>();
     int32_t quantbin = src.get<int32_t>();
-    mdz_decompress_2d<T>(src, dims, size_t(batch), quantbin, 128, out);
+    int32_t block_size = src.get<int32_t>();
+    (void)quantbin;  // per-batch quantizer state rides each stream
+    mdz_decompress_2d<T>(src, dims, size_t(batch), block_size, out);
 }
 
 }  // namespace szt

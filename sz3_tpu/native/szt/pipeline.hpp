@@ -702,11 +702,18 @@ template <class T, int N>
 void decompress_chunked(const Conf& conf, const uint8_t* cmp, size_t len, T* out) {
     Source src(cmp, len);
     int nthreads = src.get<int32_t>();
+    if (nthreads < 1 || size_t(nthreads) > std::max<size_t>(1, conf.dims[0]))
+        throw std::runtime_error("szt: invalid chunk count in archive");
     std::vector<Conf> confs(nthreads);
     for (int t = 0; t < nthreads; t++) confs[t].load(src);
     std::vector<size_t> sizes(nthreads), starts(nthreads + 1, 0);
     for (int t = 0; t < nthreads; t++) sizes[t] = src.get<size_t>();
-    for (int t = 0; t < nthreads; t++) starts[t + 1] = starts[t] + sizes[t];
+    for (int t = 0; t < nthreads; t++) {
+        if (sizes[t] > src.remaining()) throw std::runtime_error("szt: truncated chunk stream");
+        starts[t + 1] = starts[t] + sizes[t];
+    }
+    if (starts[nthreads] > src.remaining())
+        throw std::runtime_error("szt: chunk sizes exceed payload");
     const uint8_t* body = src.cursor();
 
     size_t base = conf.num() / conf.dims[0];

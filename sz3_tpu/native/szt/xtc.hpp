@@ -255,12 +255,17 @@ class XtcCoder {
         while (small_idx < kLastIdx && kMagic[small_idx] < min_diff) small_idx++;
         out.put<int32_t>(small_idx);
 
-        int max_idx = std::min(kLastIdx, small_idx + 8);
+        // small_idx can reach kLastIdx (single triplet / huge diffs); the
+        // reference reads magicInts[LASTIDX] out of bounds there (UB). Clamp
+        // the table reads; the stored header keeps the raw value, which the
+        // decoder clamps the same way.
+        const int si = std::min(small_idx, kLastIdx - 1);
+        int max_idx = std::min(kLastIdx - 1, small_idx + 8);
         int min_idx = max_idx - 8;
-        int smaller = kMagic[std::max(kFirstIdx, small_idx - 1)] / 2;
-        int small_num = kMagic[small_idx] / 2;
-        uint32_t size_small[3] = {uint32_t(kMagic[small_idx]), uint32_t(kMagic[small_idx]),
-                                  uint32_t(kMagic[small_idx])};
+        int smaller = kMagic[std::max(kFirstIdx, si - 1)] / 2;
+        int small_num = kMagic[si] / 2;
+        uint32_t size_small[3] = {uint32_t(kMagic[si]), uint32_t(kMagic[si]),
+                                  uint32_t(kMagic[si])};
         int larger = kMagic[max_idx] / 2;
 
         BitWriter w;
@@ -368,11 +373,16 @@ class XtcCoder {
         }
 
         int small_idx = in.template get<int32_t>();
-        if (small_idx < 0 || small_idx >= kLastIdx) throw std::runtime_error("xtc: bad smallIdx");
-        int smaller = kMagic[std::max(kFirstIdx, small_idx - 1)] / 2;
-        int small_num = kMagic[small_idx] / 2;
-        uint32_t size_small[3] = {uint32_t(kMagic[small_idx]), uint32_t(kMagic[small_idx]),
-                                  uint32_t(kMagic[small_idx])};
+        // kLastIdx itself is legal in headers (single-triplet / huge-diff
+        // streams); anything below kFirstIdx would index zero-valued magic
+        // entries and divide by zero in receiveints
+        if (small_idx < kFirstIdx || small_idx > kLastIdx)
+            throw std::runtime_error("xtc: bad smallIdx");
+        int si = std::min(small_idx, kLastIdx - 1);
+        int smaller = kMagic[std::max(kFirstIdx, si - 1)] / 2;
+        int small_num = kMagic[si] / 2;
+        uint32_t size_small[3] = {uint32_t(kMagic[si]), uint32_t(kMagic[si]),
+                                  uint32_t(kMagic[si])};
 
         uint64_t nbytes = in.template get<uint64_t>();
         if (in.remaining() < nbytes) throw std::runtime_error("xtc: truncated bitstream");
@@ -432,6 +442,11 @@ class XtcCoder {
             }
 
             small_idx += is_smaller;
+            // encoder-produced streams stay in [min_idx, max_idx]; clamp so a
+            // crafted stream cannot index outside the magic table or reach a
+            // zero divisor in receiveints
+            if (small_idx < kFirstIdx || small_idx >= kLastIdx)
+                throw std::runtime_error("xtc: smallIdx adaptation out of range");
             if (is_smaller < 0) {
                 small_num = smaller;
                 smaller = small_idx > kFirstIdx ? kMagic[small_idx - 1] / 2 : 0;

@@ -32,8 +32,16 @@ inline std::vector<uint8_t> zstd_pack(const uint8_t* src, size_t src_len, size_t
 }
 
 inline std::vector<uint8_t> zstd_unpack(const uint8_t* src, size_t src_len) {
+    if (src_len < sizeof(size_t)) throw std::runtime_error("szt: truncated zstd frame");
     size_t raw_len;
     std::memcpy(&raw_len, src, sizeof(size_t));
+    // sanity-bound the declared size against what zstd can legally expand to
+    // (window cap), so a corrupt header can't drive a giant allocation
+    unsigned long long hint = ZSTD_getFrameContentSize(src + sizeof(size_t),
+                                                       src_len - sizeof(size_t));
+    if (hint != ZSTD_CONTENTSIZE_UNKNOWN && hint != ZSTD_CONTENTSIZE_ERROR &&
+        raw_len != size_t(hint))
+        throw std::runtime_error("szt: zstd frame size mismatch");
     std::vector<uint8_t> out(raw_len);
     size_t n = ZSTD_decompress(out.data(), raw_len, src + sizeof(size_t), src_len - sizeof(size_t));
     if (ZSTD_isError(n)) throw std::runtime_error(ZSTD_getErrorName(n));
@@ -44,6 +52,7 @@ inline std::vector<uint8_t> zstd_unpack(const uint8_t* src, size_t src_len) {
 // Decompress straight into a caller buffer (lossless-mode archives hold the
 // raw array; reference SZDispatcher.hpp:80-87).
 inline size_t zstd_unpack_into(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst_cap) {
+    if (src_len < sizeof(size_t)) throw std::runtime_error("szt: truncated zstd frame");
     size_t raw_len;
     std::memcpy(&raw_len, src, sizeof(size_t));
     if (raw_len > dst_cap) throw std::runtime_error("szt: lossless payload larger than destination");

@@ -310,6 +310,7 @@ int szt_interp_place(const SztConf* conf, const int32_t* stream, const void* unp
                      int32_t* bins_grid, void* literal_grid, char* err, uint64_t errcap) {
     try {
         Conf k = to_conf(conf);
+        default_anchor_stride(k);  // keep emit/place traversals in lockstep
         switch (conf->engineType) {
             case 0:
                 SZT_DISPATCH_N(interp_place, float, k, stream, static_cast<const float*>(unpred),
