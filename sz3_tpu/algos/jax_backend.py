@@ -38,6 +38,9 @@ def _stream_perm(dims, interp_algo, direction, anchor_stride):
 def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
     if conf.interpAnchorStride < 0:
         conf.interpAnchorStride = [4096, 128, 32, 16][conf.N - 1]
+    # conf.dims drops size-1 axes (reference setDims semantics); the device
+    # plan, the stream permutation, and the archive must all use that shape
+    data = data.reshape(conf.dims)
     bins = interp_encode_bins_grid(
         data,
         interp_algo=int(conf.interpAlgo), direction=conf.interpDirection,
@@ -85,7 +88,7 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
         return runtime.zstd_compress(data.tobytes())
     if conf.cmprAlgo == ALGO.INTERP:
         try:
-            payload = _interp_encode_payload(conf, data.copy(), cap)
+            payload = _interp_encode_payload(conf, data, cap)  # read-only path
         except RuntimeError as e:
             if "buffer too small" not in str(e):
                 raise

@@ -22,9 +22,7 @@ the native emit/place walk.
 
 from __future__ import annotations
 
-import itertools
 import math
-from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import List, Optional, Tuple
 
@@ -40,16 +38,6 @@ K_LIN1_NEW = 5 # (-2,-1):       f32(-0.5a+1.5b)   [f64 math]
 K_LIN1_OLD = 6 # (-3,-1):       f32(-0.5a+1.5b)   [f64 math]
 K_COPY = 7     # (-1,):         a
 
-KIND_OFFSETS = {
-    K_CUBIC: (-3, -1, 1, 3),
-    K_QUAD1: (-1, 1, 3),
-    K_QUAD2: (-3, -1, 1),
-    K_QUAD3: (-5, -3, -1),
-    K_LINEAR: (-1, 1),
-    K_LIN1_NEW: (-2, -1),
-    K_LIN1_OLD: (-3, -1),
-    K_COPY: (-1,),
-}
 
 
 def _block_pattern_old(n: int, cubic: bool) -> List[Tuple[int, int]]:
@@ -132,34 +120,7 @@ def direction_table(D: int, s: int, ibs: int, cubic: bool, old_api: bool):
         b += ibs
     pos = np.asarray(pos, dtype=np.int32)
     kind = np.asarray(kind, dtype=np.int32)
-    nbs = np.repeat(pos[:, None], 4, axis=1)
-    for k, offs in KIND_OFFSETS.items():
-        m = kind == k
-        for j, off in enumerate(offs):
-            nbs[m, j] = pos[m] + off * s
-    return pos, kind, nbs
-
-
-@dataclass(frozen=True)
-class PassSpec:
-    level: int
-    eb: float                 # level-scaled error bound
-    dd: int                   # direction axis
-    pos: np.ndarray           # predicted positions along dd
-    kind: np.ndarray
-    nbs: np.ndarray           # absolute neighbor indices, (P, 4)
-    other_step: Tuple[int, ...]   # per axis: stride (ignored for dd)
-    other_count: Tuple[int, ...]  # per axis: grid point count (ignored for dd)
-
-
-@dataclass(frozen=True)
-class InterpPlan:
-    dims: Tuple[int, ...]
-    anchor_stride: int        # 0 = first-point mode
-    base_eb: float
-    radius: int
-    passes: Tuple[PassSpec, ...]
-    levels: int
+    return pos, kind, None  # third slot kept for signature stability
 
 
 def level_eb(base_eb: float, level: int, alpha: float, beta: float) -> float:
@@ -170,49 +131,3 @@ def level_eb(base_eb: float, level: int, alpha: float, beta: float) -> float:
         ratio = min(alpha ** (level - 1), beta)
         return base_eb / ratio
     return base_eb
-
-
-def build_plan(dims: Tuple[int, ...], *, interp_algo: int, direction: int,
-               anchor_stride: int, alpha: float, beta: float, eb: float,
-               quantbin_cnt: int, blocksize: int = 32) -> InterpPlan:
-    """Derive the full multi-level pass list (reference init + level loop,
-    InterpolationDecomposition.hpp:79-147,176-213)."""
-    N = len(dims)
-    cubic = interp_algo == 1
-    old_api = N <= 2
-
-    levels = max(int(math.ceil(math.log2(d))) for d in dims)
-    use_anchor = any(d > anchor_stride for d in dims)
-    astride = anchor_stride if use_anchor else 0
-    if astride > 0:
-        max_level = int(math.log2(astride)) + 1
-        if max_level <= levels:
-            levels = max_level
-
-    seqs = list(itertools.permutations(range(N)))
-    seq = seqs[direction]
-
-    top = levels - 1 if astride > 0 else levels
-    passes = []
-    for level in range(top, 0, -1):
-        s = 1 << (level - 1)
-        ibs = blocksize * s
-        cur_eb = level_eb(eb, level, alpha, beta)
-        for pi, dd in enumerate(seq):
-            pos, kind, nbs = direction_table(dims[dd], s, ibs, cubic, old_api)
-            if pos.size == 0:
-                continue
-            step, count = [], []
-            for a in range(N):
-                if a == dd:
-                    step.append(1)
-                    count.append(0)
-                else:
-                    # processed-earlier dims advance at s, the rest at 2s
-                    st = s if seq.index(a) < pi else 2 * s
-                    step.append(st)
-                    count.append((dims[a] - 1) // st + 1)
-            passes.append(PassSpec(level=level, eb=cur_eb, dd=dd, pos=pos, kind=kind,
-                                   nbs=nbs, other_step=tuple(step), other_count=tuple(count)))
-    return InterpPlan(dims=tuple(dims), anchor_stride=astride, base_eb=eb,
-                      radius=quantbin_cnt // 2, passes=tuple(passes), levels=levels)

@@ -37,7 +37,9 @@ def make_mesh(devices=None) -> Mesh:
 def make_sharded_encode_step(mesh: Mesh, chunk_dims: Tuple[int, ...], dtype, *,
                              interp_algo: int, direction: int, anchor_stride: int,
                              alpha: float, beta: float, quantbin_cnt: int,
-                             eb_mode: EB, eb_value: float):
+                             eb_mode: EB, eb_value: float,
+                             eb_abs: Optional[float] = None,
+                             eb_rel: Optional[float] = None):
     """Build the jitted multi-chip encode step.
 
     Input: the full array sharded on dim0 over `mesh` (every chunk the same
@@ -60,10 +62,13 @@ def make_sharded_encode_step(mesh: Mesh, chunk_dims: Tuple[int, ...], dtype, *,
             rng = (gmax - gmin).astype(jnp.float64)
             if eb_mode == EB.REL:
                 eb = eb_value * rng
-            elif eb_mode == EB.ABS_AND_REL:
-                eb = jnp.minimum(jnp.float64(eb_value), eb_value * rng)
-            elif eb_mode == EB.ABS_OR_REL:
-                eb = jnp.maximum(jnp.float64(eb_value), eb_value * rng)
+            elif eb_mode in (EB.ABS_AND_REL, EB.ABS_OR_REL):
+                # combined modes take two distinct bounds
+                # (reference Statistic.hpp:48-55)
+                a = eb_abs if eb_abs is not None else eb_value
+                r = eb_rel if eb_rel is not None else eb_value
+                pick = jnp.minimum if eb_mode == EB.ABS_AND_REL else jnp.maximum
+                eb = pick(jnp.float64(a), r * rng)
             else:
                 raise ValueError(f"unsupported sharded eb mode {eb_mode}")
         bins_list, b0, _recon = encode_grid_fast(x_chunk, plan, eb=eb)
@@ -88,7 +93,8 @@ def make_sharded_encode_step(mesh: Mesh, chunk_dims: Tuple[int, ...], dtype, *,
 
 def sharded_encode(data: np.ndarray, mesh: Mesh, *, interp_algo: int, direction: int,
                    anchor_stride: int, alpha: float, beta: float, quantbin_cnt: int,
-                   eb_mode: EB, eb_value: float):
+                   eb_mode: EB, eb_value: float, eb_abs: Optional[float] = None,
+                   eb_rel: Optional[float] = None):
     """Run the multi-chip encode on equally-chunked data (dim0 divisible by
     mesh size). Returns (plan, per-chunk bins [n, num_chunk], per-chunk b0,
     resolved abs eb)."""
@@ -99,7 +105,7 @@ def sharded_encode(data: np.ndarray, mesh: Mesh, *, interp_algo: int, direction:
     plan, step = make_sharded_encode_step(
         mesh, chunk_dims, data.dtype, interp_algo=interp_algo, direction=direction,
         anchor_stride=anchor_stride, alpha=alpha, beta=beta, quantbin_cnt=quantbin_cnt,
-        eb_mode=eb_mode, eb_value=eb_value)
+        eb_mode=eb_mode, eb_value=eb_value, eb_abs=eb_abs, eb_rel=eb_rel)
     x2d = data.reshape(data.shape[0], -1)
     sharding = NamedSharding(mesh, P(AXIS))
     xs = jax.device_put(x2d, sharding)

@@ -38,32 +38,44 @@ def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[by
 
     The multi-level prediction+quantization of ALL fields runs as one
     vmapped device program; stream ordering and entropy code per field on
-    the host. Returns one standard SZ3 archive per field.
+    the host. Returns one standard SZ3 archive per field, byte-identical to
+    single-field compression of the same data.
+
+    Non-ABS error modes resolve per field (the bound depends on each
+    field's range), so they route through the single-field path; the
+    batched device program needs one static bound.
     """
     import jax.numpy as jnp
+    from .ops.interp_fast import _maybe_on, exec_device
 
     if fields.ndim < 2:
         raise ValueError("expected a [B, *dims] stack")
     b = fields.shape[0]
-    dims = fields.shape[1:]
-    base = conf.copy() if conf is not None else Config(dims=dims)
-    base.set_dims(dims)
+    base = conf.copy() if conf is not None else Config(dims=fields.shape[1:])
+    base.set_dims(fields.shape[1:])  # drops size-1 axes like the reference
     base.dataType = runtime.np_dtype_id(fields[0])
     if base.cmprAlgo == ALGO.INTERP_LORENZO:
         base.cmprAlgo = ALGO.INTERP  # batch path pins the device algorithm
-    if base.cmprAlgo != ALGO.INTERP:
-        raise ValueError("compress_batch supports the interpolation algorithm")
+    from .config import EB
+    if (base.cmprAlgo != ALGO.INTERP or base.errorBoundMode != EB.ABS
+            or base.absErrorBound <= 0):
+        # per-field bounds / other algorithms / lossless mode: single-field path
+        from . import compress
+        return [compress(np.ascontiguousarray(f), base.copy(), backend="jax") for f in fields]
     if base.interpAnchorStride < 0:
         base.interpAnchorStride = [4096, 128, 32, 16][base.N - 1]
 
-    plan, run_b = _jit_encode_batch(tuple(dims), int(base.interpAlgo), base.interpDirection,
+    dims = tuple(base.dims)
+    stack = np.ascontiguousarray(fields.reshape((b,) + dims))
+    plan, run_b = _jit_encode_batch(dims, int(base.interpAlgo), base.interpDirection,
                                     base.interpAnchorStride, base.interpAlpha, base.interpBeta,
                                     base.absErrorBound, base.quantbinCnt, str(fields.dtype))
-    flat_b, b0_b = run_b(jnp.asarray(fields))
-    flat_b = np.asarray(flat_b)
-    b0_b = np.asarray(b0_b)
+    with _maybe_on(exec_device()):
+        flat_b, b0_b = run_b(jnp.asarray(stack))
+        flat_b = np.asarray(flat_b)
+        b0_b = np.asarray(b0_b)
 
-    perm = _stream_perm(tuple(base.dims), int(base.interpAlgo), base.interpDirection,
+    perm = _stream_perm(dims, int(base.interpAlgo), base.interpDirection,
                         base.interpAnchorStride)
     out: List[bytes] = []
     import struct
@@ -74,8 +86,16 @@ def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[by
         c = base.copy()
         bins = _grid_from_flat(flat_b[i], plan, b0_b[i])
         stream = bins.ravel()[perm]
-        unpred = np.ascontiguousarray(fields[i].ravel()[perm[stream == 0]])
-        payload = runtime.interp_seal(c, stream, unpred, cap)
+        unpred = np.ascontiguousarray(stack[i].ravel()[perm[stream == 0]])
+        try:
+            payload = runtime.interp_seal(c, stream, unpred, cap)
+        except RuntimeError as e:
+            if "buffer too small" not in str(e):
+                raise
+            # dispatcher semantics: downgrade this field to lossless
+            from . import compress
+            out.append(compress(stack[i], base.copy(), backend="jax"))
+            continue
         out.append(hdr.pack(SZ3_MAGIC_NUMBER, ver, len(payload)) + payload + c.save())
     return out
 
@@ -87,8 +107,11 @@ def _grid_from_flat(flat: np.ndarray, plan, b0) -> np.ndarray:
                         b0 if plan.anchor_stride == 0 else None)
 
 
-def decompress_batch(blobs: List[bytes], dtype=np.float32) -> np.ndarray:
-    """Decompress a list of same-shape archives into a [B, *dims] stack."""
+def decompress_batch(blobs: List[bytes], dtype=None) -> np.ndarray:
+    """Decompress a list of same-shape archives into a [B, *dims] stack.
+
+    dtype=None defers to the dataType each archive recorded (compress_batch
+    always records it)."""
     from . import decompress
 
     outs = [decompress(blob, dtype=dtype)[0] for blob in blobs]

@@ -78,3 +78,17 @@ def test_golden_corpus_through_jax(golden_manifest):
         ref = (GOLDEN / f"{case['name']}.sz").read_bytes()
         out, conf = szt.decompress(ref, backend="jax", dtype=np.dtype(case["dtype"]))
         assert hashlib.sha256(out.tobytes()).hexdigest() == case["out_sha"], case["name"]
+
+
+def test_size1_dim_parity_and_bound():
+    """Size-1 axes are squeezed by setDims; the device plan must follow
+    (review regression: silent corruption when plan used the raw shape)."""
+    rng = np.random.default_rng(9)
+    data = (np.cumsum(rng.standard_normal((1, 64, 64)).astype(np.float32), axis=-1) * 0.1)
+    c1 = Config(dims=data.shape, cmprAlgo=ALGO.INTERP, absErrorBound=1e-3)
+    bn = szt.compress(data, c1, backend="native", set_datatype=False)
+    c2 = Config(dims=data.shape, cmprAlgo=ALGO.INTERP, absErrorBound=1e-3)
+    bj = szt.compress(data, c2, backend="jax", set_datatype=False)
+    assert bn == bj
+    out, _ = szt.decompress(bj, backend="jax", dtype=np.float32)
+    assert np.abs(out.reshape(data.shape) - data).max() <= 1e-3

@@ -48,3 +48,42 @@ class TestServing:
     def test_rejects_non_stack(self):
         with pytest.raises(ValueError):
             compress_batch(np.zeros(10, np.float32))
+
+
+class TestServingEdgeCases:
+    """Regressions for review findings: size-1 dims, non-ABS modes, dtype."""
+
+    def test_size1_dim_matches_single_field(self):
+        rng = np.random.default_rng(2)
+        fields = np.cumsum(rng.standard_normal((2, 1, 64, 64)).astype(np.float32),
+                           axis=-1) * 0.1
+        conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP, absErrorBound=1e-3)
+        blobs = compress_batch(fields, conf)
+        single = szt.compress(fields[0], Config(dims=fields.shape[1:],
+                                                cmprAlgo=ALGO.INTERP, absErrorBound=1e-3))
+        assert blobs[0] == single
+        out = decompress_batch(blobs)
+        assert np.abs(out.reshape(fields.shape) - fields).max() <= 1e-3
+
+    def test_rel_mode_bound_holds(self):
+        from sz3_tpu.config import EB
+        fields = stack(b=2) * 100.0
+        conf = Config(dims=fields.shape[1:], errorBoundMode=EB.REL, relErrorBound=1e-4)
+        blobs = compress_batch(fields, conf)
+        out = decompress_batch(blobs)
+        for i in range(2):
+            span = fields[i].max() - fields[i].min()
+            assert np.abs(out[i] - fields[i]).max() <= 1e-4 * span * 1.01
+
+    def test_float64_roundtrip_keeps_dtype(self):
+        fields = stack(b=2).astype(np.float64)
+        conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP, absErrorBound=1e-6)
+        out = decompress_batch(compress_batch(fields, conf))
+        assert out.dtype == np.float64
+        assert np.abs(out - fields).max() <= 1e-6
+
+    def test_lossless_mode_falls_back(self):
+        fields = stack(b=2)
+        conf = Config(dims=fields.shape[1:], absErrorBound=0.0)
+        out = decompress_batch(compress_batch(fields, conf))
+        assert np.array_equal(out, fields)
