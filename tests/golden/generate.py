@@ -87,6 +87,8 @@ CASES = {
     "f32_1d_small":         ((4000,), np.float32, ["-M", "ABS", "1e-3"], None, {}),
     "f32_3d_omp4":          ((64, 48, 48), np.float32, ["-M", "ABS", "1e-3"],
                              "[GlobalSettings]\nOpenMP = true\n", {"OMP_NUM_THREADS": "4"}),
+    "f32_3d_omp_rel":       ((64, 40, 40), np.float32, ["-M", "REL", "1e-3"],
+                             "[GlobalSettings]\nOpenMP = true\n", {"OMP_NUM_THREADS": "4"}),
     "f32_3d_biomd":         ((24, 333, 3), np.float32, ["-M", "ABS", "1e-3"],
                              "[GlobalSettings]\nCmprAlgo = ALGO_BIOMD\n", {}),
     "f32_3d_biomd_fill":    ((32, 120, 3), np.float32, ["-M", "ABS", "1e-3"],
