@@ -45,7 +45,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         _fail()
+    try:
+        return _parse_and_run(argv)
+    except IndexError:
+        _fail("Error: option is missing its argument")
 
+
+def _parse_and_run(argv: List[str]) -> int:
     dtype = DataType.FLOAT
     in_path = cmp_path = dec_path = con_path = None
     binary_output, print_stats, print_meta = True, False, False
@@ -139,17 +145,31 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if in_path is None and cmp_path is None:
         _fail("Error: specify a raw binary input (-i) or a compressed file (-z/-s)")
+    if do_comp and cmp_path is None and in_path:
+        cmp_path = in_path + ".sz"  # pathless -z, like the reference CLI
     if not sz2mode and in_path and cmp_path:
         do_comp = True
     if cmp_path and dec_path:
         do_dec = True
     if in_path and cmp_path is None and dec_path:
+        # implicit compress+decompress through a temp archive needs a bound
+        if eb_mode is None and con_path is None:
+            _fail("Error: compression needs an error bound (-M ... or -c config)")
         do_comp = do_dec = del_cmp = True
         cmp_path = in_path + ".sz.tmp"
     if in_path is None or (eb_mode is None and con_path is None):
         do_comp = False
+        del_cmp = False
     if not do_comp and not do_dec:
         _fail()
+    # range-relative modes with a zero bound always destroy the data; the
+    # reference proceeds silently, we refuse (-M ABS 0 stays legal: lossless)
+    if do_comp and eb_mode is not None:
+        mode_up = eb_mode.upper()
+        zero_checks = {"REL": rel_eb, "VR_REL": rel_eb, "PSNR": psnr_eb, "NORM": norm_eb}
+        if mode_up in zero_checks and not float(eb_val or zero_checks[mode_up] or 0):
+            _fail(f"Error: -M {eb_mode} needs a positive bound "
+                  f"(inline or via -R/-S/-N)")
 
     conf = Config(dims=tuple(reversed(dims_fastest)) if dims_fastest else (1,))
     if do_comp and con_path:

@@ -26,11 +26,8 @@ overrides dims/dtype from the dataset itself.
 from __future__ import annotations
 
 import ctypes as C
-import os
 from pathlib import Path
 from typing import Optional, Tuple
-
-import numpy as np
 
 from .config import Config
 from .native.build import build_h5z

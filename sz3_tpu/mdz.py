@@ -138,7 +138,7 @@ def main(argv=None):
     if a.tail:
         a.batch = a.tail[0]
         if len(a.tail) > 1:
-            a.method = {v: k for k, v in METHODS.items()}.get(a.tail[1], "ADP")
+            a.method = METHOD_NAMES.get(a.tail[1], "ADP")
         if len(a.tail) > 2:
             a.quantbin = a.tail[2]
 

@@ -28,8 +28,12 @@ def compress_chunked_jax(conf: Config, data: np.ndarray, n_chunks: int) -> bytes
     """OpenMP-format payload with per-chunk device encoding."""
     from ..algos.jax_backend import compress_payload_jax
 
-    if data.shape[0] < n_chunks:
-        n_chunks = data.shape[0]
+    # the native engine chunks on the squeezed conf.dims[0]
+    # (pipeline.hpp compress_chunked), not the raw leading axis
+    conf.set_dims(data.shape)
+    data = data.reshape(conf.dims)
+    if conf.dims[0] < n_chunks:
+        n_chunks = conf.dims[0]
     if conf.errorBoundMode != EB.ABS:
         # global range reduce before chunking (reference SZImplOMP.hpp:57-68);
         # chunk-wise minmax combined == global minmax
@@ -48,7 +52,10 @@ def compress_chunked_jax(conf: Config, data: np.ndarray, n_chunks: int) -> bytes
     def one(t):
         lo, hi = bounds[t]
         chunk = np.ascontiguousarray(data[lo:hi])
-        cap = zstd_compress_bound(chunk.nbytes)  # per-chunk cap (SZImplOMP.hpp:73)
+        # per-chunk cap (SZImplOMP.hpp:73) + the same headroom the native
+        # chunked path adds so its lossless fallback stays viable — the two
+        # backends must make identical downgrade decisions for byte parity
+        cap = zstd_compress_bound(chunk.nbytes) + 4096
         work = confs[t].copy()
         work.openmp = False  # the chunk itself is a plain dispatcher stream
         payload = compress_payload_jax(work, chunk, cap)
@@ -85,8 +92,12 @@ def decompress_chunked_jax(conf: Config, payload: bytes, dtype) -> np.ndarray:
     bounds = _chunk_bounds(conf.dims[0], n)
     out = np.empty(conf.dims, dtype=dtype)
 
+    offsets = [pos]
+    for sz_t in sizes:
+        offsets.append(offsets[-1] + sz_t)
+
     def one(t):
-        start = pos + sum(sizes[:t])
+        start = offsets[t]
         lo, hi = bounds[t]
         c = confs[t]
         c.openmp = False  # chunk streams are plain dispatcher streams

@@ -74,13 +74,14 @@ def wavelet_inverse(coeffs: np.ndarray, n: int) -> np.ndarray:
     length = 4
     while length <= m:
         half = length // 2
-        smooth = buf[:half].copy()
-        detail = buf[half:length].copy()
+        smooth = buf[:half]
+        detail = buf[half:length]
+        # transpose of the analysis operator (orthonormal bank), scattered
+        # with the same index matrix the forward transform gathers through
+        idx = (np.arange(half)[:, None] * 2 + np.arange(4)[None, :]) % length
+        contrib = smooth[:, None] * _D4_H[None, :] + detail[:, None] * _D4_G[None, :]
         out = np.zeros(length, dtype=np.float64)
-        # transpose of the analysis operator (orthonormal bank)
-        for k in range(half):
-            for t in range(4):
-                out[(2 * k + t) % length] += smooth[k] * _D4_H[t] + detail[k] * _D4_G[t]
+        np.add.at(out, idx, contrib)
         buf[:length] = out
         length *= 2
     return buf[:n]
