@@ -31,6 +31,7 @@ CXXFLAGS = [
     "-shared",
     "-pthread",
     "-march=native",
+    "-funroll-loops",
     "-ffp-contract=off",
     "-Wall",
 ]
