@@ -66,41 +66,48 @@ def ensure_reference() -> bool:
     return Path(REF_BIN).exists()
 
 
-def bench_reference(data: np.ndarray):
-    if not ensure_reference():
-        log(f"reference binary not found at {REF_BIN}; vs_baseline = null")
-        return None
-    dat, szf, outf = "/tmp/szt_bench.dat", "/tmp/szt_bench.sz", "/tmp/szt_bench.out"
-    data.tofile(dat)
-    dims = [str(s) for s in reversed(data.shape)]
-    enc_t, dec_t, size = [], [], None
-    for _ in range(REPS):
-        r = subprocess.run([REF_BIN, "-f", "-i", dat, "-z", szf, "-3", *dims,
-                            "-M", "ABS", str(EB)], capture_output=True, text=True)
-        m = re.search(r"compression time = ([0-9.eE+-]+)", r.stdout)
-        enc_t.append(float(m.group(1)))
-        r = subprocess.run([REF_BIN, "-f", "-z", szf, "-o", outf, "-3", *dims],
-                           capture_output=True, text=True)
-        m = re.search(r"decompression time = ([0-9.eE+-]+)", r.stdout)
-        dec_t.append(float(m.group(1)))
-        size = Path(szf).stat().st_size
-    return min(enc_t), min(dec_t), size
-
-
-def bench_native(data: np.ndarray):
+def bench_host(data: np.ndarray):
+    """Measure ours and the reference INTERLEAVED per repetition so shared-host
+    load skews both sides equally (run-to-run variance here is +/-40%).
+    Returns ((our_enc, our_dec, our_size), (ref_enc, ref_dec, ref_size)|None)
+    with min-of-REPS per stage."""
     import sz3_tpu as szt
-    conf = szt.Config(dims=data.shape, absErrorBound=EB)
-    blob = szt.compress(data, conf)  # warm-up (allocator, code paths)
+
+    have_ref = ensure_reference()
+    if not have_ref:
+        log(f"reference binary not found at {REF_BIN}; vs_baseline = null")
+    dat, szf, outf = "/tmp/szt_bench.dat", "/tmp/szt_bench.sz", "/tmp/szt_bench.out"
+    dims = [str(s) for s in reversed(data.shape)]
+    if have_ref:
+        data.tofile(dat)
+
+    # warm both paths
+    blob = szt.compress(data, szt.Config(dims=data.shape, absErrorBound=EB))
     szt.decompress(blob)
-    enc_t, dec_t = [], []
+
+    ours_e, ours_d, ref_e, ref_d = [], [], [], []
+    ref_size = None
     for _ in range(REPS):
-        t = time.time(); blob = szt.compress(data, szt.Config(dims=data.shape, absErrorBound=EB))
-        enc_t.append(time.time() - t)
-        t = time.time(); out, _ = szt.decompress(blob)
-        dec_t.append(time.time() - t)
+        t = time.time()
+        blob = szt.compress(data, szt.Config(dims=data.shape, absErrorBound=EB))
+        ours_e.append(time.time() - t)
+        if have_ref:
+            r = subprocess.run([REF_BIN, "-f", "-i", dat, "-z", szf, "-3", *dims,
+                                "-M", "ABS", str(EB)], capture_output=True, text=True)
+            ref_e.append(float(re.search(r"compression time = ([0-9.eE+-]+)", r.stdout).group(1)))
+            ref_size = Path(szf).stat().st_size
+        t = time.time()
+        out, _ = szt.decompress(blob)
+        ours_d.append(time.time() - t)
+        if have_ref:
+            r = subprocess.run([REF_BIN, "-f", "-z", szf, "-o", outf, "-3", *dims],
+                               capture_output=True, text=True)
+            ref_d.append(float(re.search(r"decompression time = ([0-9.eE+-]+)", r.stdout).group(1)))
     err = float(np.abs(out.astype(np.float64) - data.astype(np.float64)).max())
     assert err <= EB * 1.0000001, f"error bound violated: {err}"
-    return min(enc_t), min(dec_t), len(blob)
+    ours = (min(ours_e), min(ours_d), len(blob))
+    ref = (min(ref_e), min(ref_d), ref_size) if have_ref else None
+    return ours, ref
 
 
 def bench_device(data: np.ndarray):
@@ -172,13 +179,12 @@ def main():
     nbytes = data.nbytes
     log(f"field: {data.shape} f32 ({nbytes/1e6:.0f} MB), ABS eb={EB}")
 
-    ours = bench_native(data)
+    ours, ref = bench_host(data)
     enc, dec, size = ours
     gbs = 2 * nbytes / (enc + dec) / 1e9
     log(f"sz3-tpu native: enc {enc:.2f}s dec {dec:.2f}s size {size} "
         f"(ratio {nbytes/size:.2f}) -> {gbs:.3f} GB/s")
 
-    ref = bench_reference(data)
     vs = None
     if ref:
         renc, rdec, rsize = ref
