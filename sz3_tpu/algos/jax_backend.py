@@ -50,20 +50,15 @@ def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
     # (bins==0, incl. anchors) carry the original values as literals, in
     # stream order — exactly what the scalar walk (bridge.hpp) produces
     perm = _stream_perm(tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection, conf.interpAnchorStride)
-    stream = bins.ravel()[perm]
-    unpred = np.ascontiguousarray(data.ravel()[perm[stream == 0]])
+    stream, unpred = runtime.perm_emit(perm, np.ascontiguousarray(bins).ravel(),
+                                       np.ascontiguousarray(data).ravel())
     return runtime.interp_seal(conf, stream, unpred, cap)
 
 
 def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
     stream, unpred = runtime.interp_open(conf, payload, dtype)
     perm = _stream_perm(tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection, conf.interpAnchorStride)
-    bins_grid = np.empty(conf.num, dtype=np.int32)
-    bins_grid[perm] = stream
-    literal = np.zeros(conf.num, dtype=dtype)
-    literal[perm[stream == 0]] = unpred
-    bins_grid = bins_grid.reshape(conf.dims)
-    literal = literal.reshape(conf.dims)
+    bins_grid, literal = runtime.perm_place(perm, stream, unpred, tuple(conf.dims), dtype)
     return interp_decode_grid(
         bins_grid, literal, dtype,
         interp_algo=int(conf.interpAlgo), direction=conf.interpDirection,

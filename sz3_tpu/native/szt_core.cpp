@@ -641,6 +641,72 @@ int szt_mdz_decompress(const uint8_t* blob, uint64_t len, void* out, char* err, 
     }
 }
 
+// ---- cached-permutation fast path (JAX device backend) -----------------------
+// The grid<->stream permutation is data-independent per (dims, algo, direction,
+// anchor_stride); the Python layer caches it (runtime.interp_order) and applies
+// it here instead of with numpy fancy indexing (6-20x faster: int32 moves, no
+// intermediate index arrays, one pass).
+
+// stream[i] = bins[perm[i]]; unpred literals = orig[perm[i]] wherever the bin
+// is 0, in stream order. `unpred` must have capacity n elements.
+int szt_perm_emit(const int64_t* perm, const int32_t* bins, const void* orig, uint64_t n,
+                  uint32_t esize, int32_t* stream, void* unpred, uint64_t* unpred_n, char* err,
+                  uint64_t errcap) {
+    try {
+        uint64_t u = 0;
+        auto run = [&](auto* src, auto* up) {
+            for (uint64_t i = 0; i < n; i++) {
+                int64_t p = perm[i];
+                int32_t b = bins[p];
+                stream[i] = b;
+                up[u] = src[p];
+                u += (b == 0);  // branchless append
+            }
+        };
+        switch (esize) {
+            case 4: run(static_cast<const uint32_t*>(orig), static_cast<uint32_t*>(unpred)); break;
+            case 8: run(static_cast<const uint64_t*>(orig), static_cast<uint64_t*>(unpred)); break;
+            case 1: run(static_cast<const uint8_t*>(orig), static_cast<uint8_t*>(unpred)); break;
+            case 2: run(static_cast<const uint16_t*>(orig), static_cast<uint16_t*>(unpred)); break;
+            default: throw std::runtime_error("bad element size");
+        }
+        *unpred_n = u;
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// Inverse: bins_grid[perm[i]] = stream[i]; literal_grid[perm[i]] = next unpred
+// literal when the bin is 0 (grids are caller-zeroed or fully overwritten).
+int szt_perm_place(const int64_t* perm, const int32_t* stream, const void* unpred, uint64_t n,
+                   uint32_t esize, int32_t* bins_grid, void* literal_grid, char* err,
+                   uint64_t errcap) {
+    try {
+        uint64_t u = 0;
+        auto run = [&](auto* up, auto* lit) {
+            using U = std::remove_const_t<std::remove_reference_t<decltype(up[0])>>;
+            for (uint64_t i = 0; i < n; i++) {
+                int64_t p = perm[i];
+                int32_t b = stream[i];
+                bins_grid[p] = b;
+                lit[p] = (b == 0) ? up[u] : U(0);
+                u += (b == 0);
+            }
+        };
+        switch (esize) {
+            case 4: run(static_cast<const uint32_t*>(unpred), static_cast<uint32_t*>(literal_grid)); break;
+            case 8: run(static_cast<const uint64_t*>(unpred), static_cast<uint64_t*>(literal_grid)); break;
+            case 1: run(static_cast<const uint8_t*>(unpred), static_cast<uint8_t*>(literal_grid)); break;
+            case 2: run(static_cast<const uint16_t*>(unpred), static_cast<uint16_t*>(literal_grid)); break;
+            default: throw std::runtime_error("bad element size");
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- full-container entry points (native CLI / C callers) --------------------
 
 int szt_container_compress(SztConf* conf, const void* data, uint8_t** out, uint64_t* out_len,

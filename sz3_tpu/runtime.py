@@ -109,6 +109,12 @@ def lib() -> C.CDLL:
                                       C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
         l.szt_tune_interp.restype = C.c_int
         l.szt_tune_interp.argtypes = [C.POINTER(SztConfC), C.c_void_p, C.c_char_p, u64]
+        l.szt_perm_emit.restype = C.c_int
+        l.szt_perm_emit.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p, u64, C.c_uint32,
+                                    C.c_void_p, C.c_void_p, C.POINTER(u64), C.c_char_p, u64]
+        l.szt_perm_place.restype = C.c_int
+        l.szt_perm_place.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p, u64, C.c_uint32,
+                                     C.c_void_p, C.c_void_p, C.c_char_p, u64]
         _lib = l
     return _lib
 
@@ -309,6 +315,44 @@ def interp_open(conf: Config, payload: bytes, dtype):
     unpred = np.frombuffer(_take(out, nbytes), dtype=dtype)
     conf_from_c(c, conf)
     return stream, unpred
+
+
+def perm_emit(perm: np.ndarray, bins_grid: np.ndarray, orig: np.ndarray):
+    """stream[i] = bins[perm[i]]; unpred = orig[perm[i]] where bins==0 (stream
+    order). One C++ pass — replaces three numpy fancy-indexing passes."""
+    n = perm.size
+    stream = np.empty(n, dtype=np.int32)
+    unpred = np.empty(n, dtype=orig.dtype)
+    u = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_perm_emit(perm.ctypes.data_as(C.c_void_p),
+                             bins_grid.ctypes.data_as(C.c_void_p),
+                             orig.ctypes.data_as(C.c_void_p), C.c_uint64(n),
+                             C.c_uint32(orig.dtype.itemsize),
+                             stream.ctypes.data_as(C.c_void_p),
+                             unpred.ctypes.data_as(C.c_void_p), C.byref(u), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_perm_emit: {err.value.decode()}")
+    return stream, np.ascontiguousarray(unpred[: u.value])
+
+
+def perm_place(perm: np.ndarray, stream: np.ndarray, unpred: np.ndarray, dims, dtype):
+    """Inverse of perm_emit: (bins grid, literal grid) from stream + literals."""
+    n = perm.size
+    bins_grid = np.empty(n, dtype=np.int32)
+    literal = np.empty(n, dtype=dtype)
+    stream = np.ascontiguousarray(stream, dtype=np.int32)
+    unpred = np.ascontiguousarray(unpred, dtype=dtype)
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_perm_place(perm.ctypes.data_as(C.c_void_p),
+                              stream.ctypes.data_as(C.c_void_p),
+                              unpred.ctypes.data_as(C.c_void_p), C.c_uint64(n),
+                              C.c_uint32(np.dtype(dtype).itemsize),
+                              bins_grid.ctypes.data_as(C.c_void_p),
+                              literal.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_perm_place: {err.value.decode()}")
+    return bins_grid.reshape(dims), literal.reshape(dims)
 
 
 def interp_order(conf: Config) -> np.ndarray:
