@@ -1,0 +1,174 @@
+"""Fully device-resident INTERP encode: array -> archive payload with the
+entropy stage on the TPU (see ops/entropy_device.py for the kernel design).
+
+Pipeline (two device syncs total):
+  jit A: multi-level predict+quantize passes (ops/interp_fast) -> padded
+         stream-order bins + original values (ops/stream_layout) -> windowed
+         histogram + stream-order literals             [D2H: 64KB + literals]
+  host : Huffman tree with reference tie-breaking (native szt_huff_table),
+         exact total bit count from hist x lens, code tables        [H2D: 66KB]
+  jit B: fused code lookup + bit pack + global splice       [D2H: the stream]
+  host : payload framing + zstd (native szt_interp_seal_packed)
+
+Falls back to the host emit/seal path (jax_backend) via Fallback for inputs
+outside the device profile: no anchor grid, non-f32 dtype, symbols outside
+the static window, literal overflow, or Huffman codes > 32 bits.
+
+Byte parity: archives equal the host engine's bit-for-bit (asserted by
+tests/test_device_entropy.py against golden archives and the reference
+binary's output).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import runtime
+from ..config import Config
+from ..ops import entropy_device as ed
+from ..ops.interp_fast import _decimation_chain, build_fast_plan, encode_grid_fast
+from ..ops.stream_layout import SENTINEL, apply_stream_layout, build_stream_layout
+
+
+class Fallback(Exception):
+    """Input outside the device-entropy profile; use the host path."""
+
+
+def _cap_rows(num: int) -> int:
+    # literal capacity: anchors (~num/32^N) + unpredictable points; fields
+    # with more literals than ~3% are better served by the host path anyway
+    return max(64, (num // 32 + 4095) // 128 // 32 * 32)
+
+
+@lru_cache(maxsize=16)
+def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
+            quantbin_cnt, dtype_name):
+    plan = build_fast_plan(dims, interp_algo=interp_algo, direction=direction,
+                           anchor_stride=anchor_stride, alpha=alpha, beta=beta,
+                           eb=eb, quantbin_cnt=quantbin_cnt)
+    if plan.anchor_stride == 0:
+        return plan, None, None
+    lp = build_stream_layout(plan, interp_algo)
+    nc = -(-lp.padded_len // ed.CHUNK)
+    mp = nc * ed.CHUNK
+    num = 1
+    for d in dims:
+        num *= d
+    cap_rows = _cap_rows(num)
+
+    @jax.jit
+    def jit_a(x):
+        bins_list, _b0, _ = encode_grid_fast(x, plan)
+        _, curs = _decimation_chain(x, plan)
+        anchors_idx = tuple(slice(0, None, plan.anchor_stride) for _ in dims)
+        bins_stream = apply_stream_layout(
+            jnp, lp, bins_list, jnp.zeros_like(x[anchors_idx], jnp.int32),
+            jnp.int32(SENTINEL))
+        orig_stream = apply_stream_layout(jnp, lp, curs, x[anchors_idx],
+                                          jnp.zeros((), x.dtype))
+        pad = mp - bins_stream.shape[0]
+        bins_stream = jnp.pad(bins_stream, (0, pad), constant_values=SENTINEL)
+        orig_stream = jnp.pad(orig_stream, (0, pad))
+        wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
+        hist, lits, nlit = ed.hist_and_literals(bins_stream, orig_stream, wlo,
+                                                cap_rows)
+        return bins_stream, hist, lits, nlit
+
+    out_sub = mp // 128 + ed.SEG_REG + 8
+
+    @jax.jit
+    def jit_b(bins_stream, tc, tl):
+        wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
+        return ed.pack_bits(bins_stream, tc, tl, wlo, nc, out_sub)
+
+    return plan, lp, (jit_a, jit_b, nc, mp, cap_rows)
+
+
+def encode_payload_device(conf: Config, data, cap: int) -> bytes:
+    """INTERP payload with the entropy stage on-device. `data` may be a numpy
+    array or a device-resident jax array (serving path)."""
+    dtype = np.dtype(np.asarray(data).dtype) if isinstance(data, np.ndarray) \
+        else np.dtype(data.dtype)
+    if dtype != np.float32:
+        raise Fallback("device entropy path is f32-only")
+    plan, lp, jits = _static(tuple(conf.dims), int(conf.interpAlgo),
+                             conf.interpDirection, conf.interpAnchorStride,
+                             conf.interpAlpha, conf.interpBeta,
+                             conf.absErrorBound, conf.quantbinCnt, dtype.name)
+    if lp is None:
+        raise Fallback("no anchor grid")
+    jit_a, jit_b, nc, mp, cap_rows = jits
+    radius = conf.quantbinCnt // 2
+    wlo = radius - ed.W_HALF
+
+    from ..ops.interp_fast import _maybe_on, exec_device
+    dev = exec_device()
+    with _maybe_on(dev):
+        x = data if isinstance(data, jax.Array) else jnp.asarray(
+            np.ascontiguousarray(data).reshape(conf.dims))
+        bins_stream, hist, lits, nlit = jit_a(x)
+
+    # ---- host: exact histogram -> reference Huffman tree ----
+    hist_np = np.asarray(hist).ravel()          # indexed by table idx
+    n_lit = int(np.asarray(nlit)[0])
+    if hist_np[ed.TRASH] != 0:
+        raise Fallback("symbols outside the device window")
+    if n_lit > cap_rows * 128:
+        raise Fallback("literal capacity exceeded")
+    counts = {}
+    if hist_np[0]:
+        counts[0] = int(hist_np[0])
+    win = hist_np[2:2 + 2 * ed.W_HALF]
+    present = np.nonzero(win)[0]
+    for r in present:
+        counts[wlo + int(r)] = int(win[r])
+    total = sum(counts.values())
+    num = int(np.prod(conf.dims))
+    assert total == num, f"histogram total {total} != num {num}"
+    syms = sorted(counts)
+    offset = syms[0]
+    state_num = syms[-1] - offset + 2
+    freq = np.zeros(state_num, np.uint64)
+    for s, c in counts.items():
+        freq[s - offset] = c
+    try:
+        codes, lens, tree = runtime.huff_table(offset, freq)
+    except runtime.DeepTreeError:
+        raise Fallback("huffman tree deeper than 32 bits")
+    total_bits = int((freq.astype(np.int64) * lens.astype(np.int64)).sum())
+
+    # code tables indexed by the kernel's symbol index
+    tbl = ed.TBL_ROWS * 128
+    tc = np.zeros(tbl, np.uint32)
+    tl = np.zeros(tbl, np.uint8)
+    idx_syms = np.arange(2 * ed.W_HALF) + wlo          # idx 2.. -> symbol
+    inrange = (idx_syms >= offset) & (idx_syms <= syms[-1])
+    src = np.clip(idx_syms - offset, 0, state_num - 1)
+    tc[2:2 + 2 * ed.W_HALF] = np.where(inrange, codes[src], 0)
+    tl[2:2 + 2 * ed.W_HALF] = np.where(inrange, lens[src], 0)
+    if 0 in counts:
+        tc[0] = codes[0 - offset]
+        tl[0] = lens[0 - offset]
+    tc_dev = jnp.asarray(tc.astype(np.int32).reshape(ed.TBL_ROWS, 128))
+    tl_dev = jnp.asarray(tl.astype(np.int32).reshape(ed.TBL_ROWS, 128))
+
+    # ---- device: pack ----
+    with _maybe_on(dev):
+        words, _cbits = jit_b(bins_stream, tc_dev, tl_dev)
+    nwords = (total_bits + 31) // 32
+    rows = -(-nwords // 128)
+    words_np = np.asarray(words[:rows]).ravel()[:nwords]
+    bits_bytes = words_np.view(np.uint32).byteswap().tobytes()[: (total_bits + 7) // 8]
+
+    # literals (stream order)
+    lit_rows = -(-n_lit // 128)
+    unpred = np.asarray(lits[:lit_rows]).ravel()[:n_lit] if n_lit else \
+        np.zeros(0, dtype)
+
+    return runtime.interp_seal_packed(conf, tree, bits_bytes, total_bits,
+                                      num, unpred, cap)

@@ -35,9 +35,29 @@ def _stream_perm(dims, interp_algo, direction, anchor_stride):
     return runtime.interp_order(c)
 
 
+def _device_entropy_mode() -> str:
+    """SZT_DEVICE_ENTROPY: auto (default; on when a real TPU backend is
+    present), 1 (force, incl. interpret-mode on CPU — tests), 0 (off)."""
+    import os
+    return os.environ.get("SZT_DEVICE_ENTROPY", "auto")
+
+
 def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
     if conf.interpAnchorStride < 0:
         conf.interpAnchorStride = [4096, 128, 32, 16][conf.N - 1]
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_encode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_encode.encode_payload_device(conf, data, cap)
+            except device_encode.Fallback:
+                pass
     # conf.dims drops size-1 axes (reference setDims semantics); the device
     # plan, the stream permutation, and the archive must all use that shape
     data = data.reshape(conf.dims)

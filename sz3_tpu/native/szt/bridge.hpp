@@ -92,6 +92,29 @@ std::vector<uint8_t> interp_seal(Conf& conf, const int32_t* stream, size_t n, co
     return seal_payload<T>(codec, bins, cap);
 }
 
+// device-packed pieces -> full payload bytes, identical to seal_payload's
+// (SZGenericCompressor.hpp:38-63 framing): zstd([decomp.save][tree][count]
+// [bitstream-len u64][bitstream]). The bitstream arrives already packed by
+// the device entropy stage; `bit_count` trailing bits determine byte length.
+template <class T, int N>
+std::vector<uint8_t> interp_seal_packed(Conf& conf, const uint8_t* tree, size_t tree_len,
+                                        const uint8_t* bits, size_t bit_count, size_t count,
+                                        const T* unpred, size_t un, size_t cap) {
+    default_anchor_stride(conf);
+    auto codec = make_interp<T, N>(conf);
+    codec.resolve_params();
+    codec.quant.unpred.assign(unpred, unpred + un);
+    size_t nbytes = (bit_count + 7) / 8;
+    Sink inner;
+    inner.reserve(tree_len + nbytes + un * sizeof(T) + 4096);
+    codec.save(inner);
+    inner.raw(tree, tree_len);
+    inner.put<size_t>(count);
+    inner.put<size_t>(nbytes);
+    inner.raw(bits, nbytes);
+    return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+}
+
 // payload bytes -> stream + literals + effective params (written into conf:
 // interp fields, absErrorBound = archived eb, quantbinCnt = 2*radius)
 template <class T, int N>

@@ -102,6 +102,27 @@ class Huffman {
         return true;
     }
 
+    // Build directly from an externally-computed histogram (device path):
+    // offset/freq must follow the reference convention (offset = min symbol,
+    // freq covers [offset, max+1] with a trailing zero sentinel slot).
+    void build_hist(T offset, const std::vector<size_t>& freq) {
+        offset_ = offset;
+        build_from_freq(freq);
+    }
+
+    // Export right-aligned 32-bit codes + lengths for the device bit-packer.
+    // Returns false when any code exceeds 32 bits (caller falls back to the
+    // host encoder, which supports the full 128-bit format).
+    bool export_codes32(uint32_t* codes, uint8_t* lens) const {
+        for (uint32_t s = 0; s < state_num_; s++) {
+            int len = code_len_[s];
+            if (len > 32) return false;
+            lens[s] = uint8_t(len);
+            codes[s] = len ? uint32_t(code_hi_[s] >> (64 - len)) : 0;
+        }
+        return true;
+    }
+
     void build_from_freq(const std::vector<size_t>& freq) {
         state_num_ = uint32_t(freq.size());
         pool_freq_.clear(); pool_sym_.clear(); pool_leaf_.clear();

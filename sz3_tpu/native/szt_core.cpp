@@ -641,6 +641,59 @@ int szt_mdz_decompress(const uint8_t* blob, uint64_t len, void* out, char* err, 
     }
 }
 
+// ---- device entropy stage glue ------------------------------------------------
+
+// Histogram -> Huffman tree with reference tie-breaking. Returns the
+// serialized tree bytes (huff.save framing) plus right-aligned 32-bit codes
+// and lengths indexed by (symbol - offset). rc 1 = tree deeper than 32 bits
+// (caller must use the host encoder).
+int szt_huff_table(int64_t offset, const uint64_t* freq, uint64_t state_num, uint32_t* codes,
+                   uint8_t* lens, uint8_t** tree_out, uint64_t* tree_len, char* err,
+                   uint64_t errcap) {
+    try {
+        Huffman<int32_t> h;
+        std::vector<size_t> f(freq, freq + state_num);
+        h.build_hist(int32_t(offset), f);
+        if (!h.export_codes32(codes, lens)) return 1;
+        Sink s;
+        h.save(s);
+        *tree_out = to_malloc(s.buf, tree_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// Assemble the payload from device-packed pieces (tree bytes + bitstream +
+// stream-order literals); byte-identical to szt_interp_seal's output.
+int szt_interp_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len,
+                           const uint8_t* bits, uint64_t bit_count, uint64_t count,
+                           const void* unpred, uint64_t unpred_n, uint64_t cap, uint8_t** out,
+                           uint64_t* out_len, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        auto seal = [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            switch (k.N()) {
+                case 1: payload = interp_seal_packed<T, 1>(k, tree, tree_len, bits, bit_count, count, static_cast<const T*>(unpred), unpred_n, cap); break;
+                case 2: payload = interp_seal_packed<T, 2>(k, tree, tree_len, bits, bit_count, count, static_cast<const T*>(unpred), unpred_n, cap); break;
+                case 3: payload = interp_seal_packed<T, 3>(k, tree, tree_len, bits, bit_count, count, static_cast<const T*>(unpred), unpred_n, cap); break;
+                case 4: payload = interp_seal_packed<T, 4>(k, tree, tree_len, bits, bit_count, count, static_cast<const T*>(unpred), unpred_n, cap); break;
+                default: throw std::runtime_error("unsupported dimensionality");
+            }
+        };
+        if (conf->engineType == 0) seal(static_cast<float*>(nullptr));
+        else if (conf->engineType == 1) seal(static_cast<double*>(nullptr));
+        else throw std::runtime_error("unsupported dtype for device path");
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- cached-permutation fast path (JAX device backend) -----------------------
 // The grid<->stream permutation is data-independent per (dims, algo, direction,
 // anchor_stride); the Python layer caches it (runtime.interp_order) and applies

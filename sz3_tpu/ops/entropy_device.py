@@ -1,0 +1,448 @@
+"""Device-resident Huffman entropy stage (encode side).
+
+Turns the padded stream-order bins (ops/stream_layout.py) into the exact
+reference Huffman bitstream (HuffmanEncoder.hpp:135-218: MSB-first
+concatenation of per-symbol codes) without the bins ever leaving the device:
+
+  jit A: windowed exact histogram (one-hot MXU matmul, two-level radix-128)
+         + unpredictable-literal extraction in stream order
+  host:  Huffman tree build (native engine, reference tie-breaking) -> code
+         tables; total bit count derived exactly from hist x lens
+  jit B: fused code lookup (vreg lane-gather chains; XLA gather is ~120ms/16M
+         on TPU, this is ~2ms) + bit packing:
+         kernel 1: per 8192-element chunk, pack 128 rows of 64 codes by a
+                   64-step vectorized scan, then concatenate the rows with a
+                   7-level binary merge tree (rows pre-shuffled to
+                   bit-reversed lanes so half-pairing yields natural order;
+                   variable shifts decompose into static rolls + selects —
+                   no gathers, no scatters, no lane-dynamic addressing)
+         kernel 2: sequential global splice: each chunk frame is bit-shifted,
+                   lane-rotated and OR-DMA'd into the output at its exclusive
+                   prefix bit offset (Mosaic only allows dynamic offsets on
+                   the sublane dim; the lane part rides a traced roll)
+
+Constraints (host falls back to the scalar engine when violated):
+  * anchor grid present, f32 data, max code length <= 32 bits,
+  * all nonzero symbols inside the static window [radius-4096, radius+4096),
+  * literal count within the static capacity.
+
+Wire-format reference: encoder/HuffmanEncoder.hpp (tree+stream),
+SZGenericCompressor.hpp:38-63 (payload framing; assembled by
+szt_interp_seal_packed on the host).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_enable_x64", True)
+
+# ---- static geometry ----------------------------------------------------------
+
+LANES = 128
+ROW_ELEMS = 64                      # elements packed per row by the scan
+CHUNK = LANES * ROW_ELEMS           # 8192 elements per grid step
+ROWBUF_W = ROW_ELEMS + 2            # words per row buffer (<=32 bits/code)
+FRAME_W = ROWBUF_W * LANES          # words per chunk frame (8448)
+FRAME_SUB = FRAME_W // LANES        # frame rows when viewed (66, 128)
+MERGE_LEVELS = 6                    # in-kernel merge depth; remaining splits
+SEGS_PER_CHUNK = 128 >> MERGE_LEVELS   # become separate splice segments
+SEG_W = ROWBUF_W * (1 << MERGE_LEVELS)  # words per emitted segment (4224)
+SEG_SUB = SEG_W // LANES            # segment rows viewed (33, 128)
+SEG_REG = (SEG_SUB + 1 + 7) // 8 * 8    # 8-aligned DMA region rows
+SPLICE_REG = (FRAME_SUB + 1 + 7) // 8 * 8   # DMA region rows (8-aligned: the
+                                            # TPU faults on non-multiple-of-8
+                                            # sublane counts in dynamic DMAs)
+
+W_HALF = 4096                       # symbol window half-width around radius
+N_IDX = 2 + 2 * W_HALF              # 0 -> symbol 0, 1 -> sentinel, 2.. window
+IDX_SPACE = 128 * 128               # two-level radix-128 histogram space
+TRASH = N_IDX                       # out-of-window bucket (host gate)
+TBL_ROWS = (N_IDX + 1 + 127) // 128  # 65 vreg rows of lookup table
+
+SENTINEL = -1
+
+_BITREV7 = np.array([int(f"{i:07b}"[::-1], 2) for i in range(128)], np.int32)
+
+
+def _interpret() -> bool:
+    import os
+    if os.environ.get("SZT_JAX_DEVICE", "") == "cpu":
+        return True     # parity tests pin execution to the host backend
+    return jax.default_backend() != "tpu"
+
+
+def _sym_index(bins, wlo):
+    """bins -> table index (see module docstring). wlo = radius - W_HALF.
+    All constants are explicit int32: a weak Python-int inside a kernel
+    becomes an int64 convert under x64, which Mosaic cannot lower."""
+    i32 = jnp.int32
+    r = bins - wlo
+    idx = jnp.where((r >= i32(0)) & (r < i32(2 * W_HALF)), r + i32(2), i32(TRASH))
+    idx = jnp.where(bins == i32(0), i32(0), idx)
+    idx = jnp.where(bins == i32(SENTINEL), i32(1), idx)
+    return idx
+
+
+# ---- jit A: histogram + literal extraction --------------------------------------
+
+
+def _hist_kernel(wlo_ref, bins_col_ref, bins_tile_ref, orig_tile_ref,
+                 hist_ref, lits_ref, nlit_ref, acc_ref, ptr_ref):
+    ci = pl.program_id(0)
+
+    @pl.when(ci == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        ptr_ref[0] = 0
+
+    # exact two-level histogram on the MXU (counts < 2^24 per chunk -> f32
+    # matmul exact; accumulated per chunk into int32)
+    idx = _sym_index(bins_col_ref[:], wlo_ref[0])        # (CHUNK, 1)
+    hi = idx >> jnp.int32(7)
+    lo = idx & jnp.int32(127)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    ohh = (hi == lane).astype(jnp.int8)
+    ohl = (lo == lane).astype(jnp.int8)
+    m = jax.lax.dot_general(ohh, ohl, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    acc_ref[:] = acc_ref[:] + m
+
+    # literal extraction: original values at bin==0 slots, in stream order.
+    # Per row: compact the (rare) zero-slots to the front with a one-hot
+    # matmul (exact: one 0/1 contribution per output lane), then place the
+    # compacted run at the running literal offset (lane-rotate + two masked
+    # sublane RMWs). Rows without zeros cost one reduction.
+    cap_rows = lits_ref.shape[0]
+    lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    chunk_zeros = jnp.sum((bins_tile_ref[:] == jnp.int32(0)).astype(jnp.int32),
+                          axis=1, keepdims=True, dtype=jnp.int32)
+    any_zero = jnp.sum(chunk_zeros, axis=0, keepdims=True,
+                       dtype=jnp.int32)[0, 0]
+
+    # NOTE: python-unrolled row loop: inside a gridded kernel, fori_loop with
+    # array bounds lowers to a while-op Mosaic cannot legalize, and python
+    # bounds make an int64 index under x64. Unrolling also gives static
+    # sublane addressing for the tile reads.
+    @pl.when(any_zero > 0)
+    def _():
+      for r in range(ROW_ELEMS):
+        rb = bins_tile_ref[r:r + 1, :]                    # (1,128)
+        mask = rb == jnp.int32(0)
+        z = jnp.sum(mask.astype(jnp.int32), axis=1, dtype=jnp.int32)[0]
+
+        @pl.when(z > 0)
+        def _():
+            ov = orig_tile_ref[r:r + 1, :]
+            # inclusive lane prefix-sum (Mosaic has no cumsum): log-shift adds
+            t = mask.astype(jnp.int32)
+            for sh in (1, 2, 4, 8, 16, 32, 64):
+                t = t + jnp.where(lane_v >= jnp.int32(sh), pltpu.roll(t, jnp.int32(sh), 1), jnp.int32(0))
+            # butterfly compaction to the front: element at lane l moves left
+            # by l - (t[l]-1); monotone routing is collision-free when the
+            # shift is applied one binary digit at a time. Bit-exact (pure
+            # selects/rolls; an MXU one-hot matmul would round f32 to bf16).
+            shamt = jnp.where(mask, lane_v - (t - jnp.int32(1)), jnp.int32(0))
+            vals = ov
+            alive = mask.astype(jnp.int32)  # rolls need 32-bit data
+            for j in (1, 2, 4, 8, 16, 32, 64):
+                rl = jnp.int32(LANES - j)
+                cand_v = pltpu.roll(vals, rl, 1)
+                cand_s = pltpu.roll(shamt, rl, 1)
+                cand_a = pltpu.roll(alive, rl, 1)
+                take = (cand_a != 0) & ((cand_s & jnp.int32(j)) != jnp.int32(0))
+                moved = (alive != 0) & ((shamt & jnp.int32(j)) != jnp.int32(0))
+                vals = jnp.where(take, cand_v, vals)
+                shamt = jnp.where(take, cand_s - jnp.int32(j), shamt)
+                # vacated lanes lose their element (else stale duplicates
+                # keep marching and can crush real slots)
+                alive = jnp.where(take, jnp.int32(1),
+                                  jnp.where(moved, jnp.int32(0), alive))
+            comp = vals                                   # (1,128) compacted
+            p = ptr_ref[0]
+            pr = jnp.minimum(p >> jnp.int32(7), jnp.int32(cap_rows - 2))
+            pl_ = p & jnp.int32(127)
+            rot = pltpu.roll(comp, pl_, 1)
+            keep_mask = (lane_v >= pl_) & (lane_v < pl_ + z)
+            wrap_mask = lane_v < pl_ + z - jnp.int32(128)
+            cur0 = lits_ref[pl.ds(pr, 1), :]
+            lits_ref[pl.ds(pr, 1), :] = jnp.where(keep_mask, rot, cur0)
+            cur1 = lits_ref[pl.ds(pr + jnp.int32(1), 1), :]
+            lits_ref[pl.ds(pr + 1, 1), :] = jnp.where(wrap_mask, rot, cur1)
+            ptr_ref[0] = p + z
+
+    @pl.when(ci == pl.num_programs(0) - 1)
+    def _():
+        hist_ref[:] = acc_ref[:]
+        nlit_ref[0] = ptr_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows",))
+def hist_and_literals(bins_padded, orig_padded, wlo, cap_rows: int):
+    """bins_padded/orig_padded: (Mp,) stream order (Mp % CHUNK == 0).
+    Returns (hist (128,128) i32 indexed [hi, lo], literals (cap_rows,128),
+    literal count)."""
+    mp = bins_padded.shape[0]
+    nc = mp // CHUNK
+    bins_col = bins_padded.reshape(mp, 1)
+    bins_tile = bins_padded.reshape(nc * ROW_ELEMS, LANES)
+    orig_tile = orig_padded.reshape(nc * ROW_ELEMS, LANES)
+    # x64 must be off while tracing pallas calls: under x64 the grid machinery
+    # emits int64 ops that Mosaic cannot legalize ('func.return')
+    with jax.enable_x64(False):
+        hist, lits, nlit = _hist_call(bins_col, bins_tile, orig_tile, wlo,
+                                      cap_rows, nc)
+    return hist, lits, nlit
+
+
+def _hist_call(bins_col, bins_tile, orig_tile, wlo, cap_rows, nc):
+    orig_padded = orig_tile
+    hist, lits, nlit = pl.pallas_call(
+        _hist_kernel,
+        out_shape=(jax.ShapeDtypeStruct((128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((cap_rows, LANES), orig_tile.dtype),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((128, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap_rows, LANES), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(jnp.asarray(wlo, jnp.int32).reshape(1), bins_col, bins_tile, orig_tile)
+    return hist, lits, nlit
+
+
+# ---- jit B kernel 1: per-chunk pack ---------------------------------------------
+
+
+def _lookup2(idx_tile, ta_ref, tb_ref):
+    """Composed vreg lane-gather: (ta[idx], tb[idx]) for idx < TBL_ROWS*128.
+    One where-chain pass over the table rows serves both tables."""
+    lane = idx_tile & jnp.int32(127)
+    row = idx_tile >> jnp.int32(7)
+    acc_a = jnp.zeros_like(idx_tile)
+    acc_b = jnp.zeros_like(idx_tile)
+    for s in range(TBL_ROWS):
+        sel = row == s
+        ca = jnp.take_along_axis(
+            jnp.broadcast_to(ta_ref[s, :][None, :], idx_tile.shape), lane, axis=1)
+        cb = jnp.take_along_axis(
+            jnp.broadcast_to(tb_ref[s, :][None, :], idx_tile.shape), lane, axis=1)
+        acc_a = jnp.where(sel, ca, acc_a)
+        acc_b = jnp.where(sel, cb, acc_b)
+    return acc_a, acc_b
+
+
+def _shr32(x, n):
+    """Logical right shift with shift amounts outside [0,31] -> 0."""
+    xu = x.astype(jnp.uint32)
+    nc = jnp.clip(n, jnp.int32(0), jnp.int32(31)).astype(jnp.uint32)
+    ok = (n >= jnp.int32(0)) & (n < jnp.int32(32))
+    return jnp.where(ok, (xu >> nc).astype(jnp.int32), jnp.int32(0))
+
+
+def _shl32(x, n):
+    xu = x.astype(jnp.uint32)
+    nc = jnp.clip(n, jnp.int32(0), jnp.int32(31)).astype(jnp.uint32)
+    ok = (n >= jnp.int32(0)) & (n < jnp.int32(32))
+    return jnp.where(ok, (xu << nc).astype(jnp.int32), jnp.int32(0))
+
+
+def _pack_kernel(wlo_ref, bins_ref, tc_ref, tl_ref, frames_ref, cbits_ref):
+    idx = _sym_index(bins_ref[:], wlo_ref[0])            # (64, 128)
+    codes, lens = _lookup2(idx, tc_ref, tl_ref)
+
+    # 64-step scan: pack each lane's 64 codes MSB-first into its row buffer
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (ROWBUF_W, LANES), 0)
+
+    z = jnp.zeros((1, LANES), jnp.int32)
+    buf, cnt, ptr = z, z, z
+    rowbuf = jnp.zeros((ROWBUF_W, LANES), jnp.int32)
+    i32 = jnp.int32
+    for t in range(ROW_ELEMS):                            # python-unrolled
+        c = codes[t:t + 1, :]                             # (1,128) right-aligned
+        l = lens[t:t + 1, :]
+        total = cnt + l
+        emit = total >= i32(32)
+        w = buf | _shr32(c, total - i32(32))              # valid when emit
+        rowbuf = jnp.where((iota_w == ptr) & emit, w, rowbuf)
+        buf = jnp.where(emit, _shl32(c, i32(64) - total),
+                        buf | _shl32(c, i32(32) - total))
+        cnt = jnp.where(emit, total - i32(32), total)
+        ptr = ptr + emit.astype(jnp.int32)
+    # park the partial word (upper cnt bits) at ptr
+    rowbuf = jnp.where(iota_w == ptr, buf, rowbuf)
+    bits = ptr * 32 + cnt                                 # (1,128) row bit lengths
+
+    # 7-level binary merge; lanes are bit-reversed rows so half-pairing
+    # concatenates in natural order. The lane dim stays 128 wide throughout
+    # (Mosaic chokes on sub-128 lane pads/concats): the merge partner is
+    # fetched by a lane roll, results are valid in lanes [0, 128 >> (lev+1))
+    # and garbage elsewhere; only lane 0 of the final frame is read.
+    frame, blen = rowbuf, bits
+    for lev in range(MERGE_LEVELS):
+        half = 128 >> (lev + 1)
+        cap = frame.shape[0]
+        right = pltpu.roll(frame, jnp.int32(128 - half), 1)
+        rlen = pltpu.roll(blen, jnp.int32(128 - half), 1)
+        b = blen & jnp.int32(31)
+        wo = blen >> jnp.int32(5)
+        rp = jnp.pad(right, ((0, cap), (0, 0)))
+        # bit shift right by b with word carry (word w-1 is one sublane up)
+        prev = pltpu.roll(rp, jnp.int32(1), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, rp.shape, 0)
+        prev = jnp.where(sub_iota == 0, 0, prev)
+        rs = _shr32(rp, b) | _shl32(prev, jnp.int32(32) - b)
+        # word offset by wo: binary-decomposed sublane rolls (zero-padded
+        # frame -> wrapped words are zeros)
+        for j in range(int(np.log2(2 * cap)) + 1):
+            sh = 1 << j
+            if sh >= 2 * cap:
+                break
+            rolled = pltpu.roll(rs, jnp.int32(sh), 0)
+            rolled = jnp.where(sub_iota < sh, 0, rolled)
+            rs = jnp.where((wo & jnp.int32(sh)) != jnp.int32(0), rolled, rs)
+        frame = jnp.pad(frame, ((0, cap), (0, 0))) | rs
+        blen = blen + rlen
+
+    # SEGS_PER_CHUNK segments land in lanes 0..SEGS_PER_CHUNK-1; their
+    # concatenation order equals lane order (C7(0) expands left-to-right)
+    for k in range(SEGS_PER_CHUNK):
+        frames_ref[k * SEG_W:(k + 1) * SEG_W, :] = frame[:, k:k + 1]
+        cbits_ref[pl.program_id(0) * SEGS_PER_CHUNK + k] = blen[0, k]
+
+
+def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, nc):
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _pack_kernel,
+            out_shape=(jax.ShapeDtypeStruct((nc * FRAME_W, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((nc * SEGS_PER_CHUNK,), jnp.int32)),
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TBL_ROWS, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TBL_ROWS, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((FRAME_W, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interpret(),
+        )(jnp.asarray(wlo, jnp.int32).reshape(1), bins_bitrev,
+          table_codes, table_lens)
+
+
+# ---- jit B kernel 2: global splice ----------------------------------------------
+
+
+def _splice_kernel(gsub_ref, glane_ref, gbit_ref, frames_ref, _aliased_in,
+                   out_hbm, vin, vout, sem_in, sem_out):
+    ci = pl.program_id(0)
+    gl = glane_ref[ci]
+    gb = gbit_ref[ci]
+    gs = gsub_ref[ci]
+
+    f = frames_ref[0]                                     # (SEG_SUB, 128) row-major words
+    # bit shift right by gb; previous word = lane-1 (wrapping to previous
+    # sublane's lane 127)
+    a = pltpu.roll(f, jnp.int32(1), 1)
+    b2 = pltpu.roll(a, jnp.int32(1), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+    prev = jnp.where(lane_iota == 0, b2, a)
+    prev = jnp.where((lane_iota == 0) & (sub_iota == 0), 0, prev)
+    fs = _shr32(f, gb) | _shl32(prev, jnp.int32(32) - gb)
+    # rotate by gl lanes; wrapped lanes land one sublane further down
+    rot = pltpu.roll(fs, gl, 1)
+    wrapped = lane_iota < gl
+    down = jnp.pad(rot, ((1, 0), (0, 0)))[:-1, :]
+    keep = jnp.pad(rot, ((0, 1), (0, 0)))
+    down = jnp.pad(down, ((0, 1), (0, 0)))
+    # region: FRAME_SUB+1 sublanes starting at gs; wrapped lanes (the rotate
+    # carried them past lane 127) take the one-sublane-down copy everywhere,
+    # including the extra boundary row
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (SEG_SUB + 1, 128), 1)
+    region = jnp.where(lane_r < gl, down, keep)
+    # pad to the 8-aligned DMA region; extra rows are zero and the OR-RMW
+    # leaves the underlying words untouched
+    region = jnp.pad(region, ((0, SEG_REG - (SEG_SUB + 1)), (0, 0)))
+
+    # OR-RMW into the output at sublane offset gs
+    cp_in = pltpu.make_async_copy(
+        out_hbm.at[pl.ds(gs, SEG_REG), :], vin, sem_in)
+    cp_in.start()
+    cp_in.wait()
+    vout[:] = vin[:] | region
+    cp_out = pltpu.make_async_copy(
+        vout, out_hbm.at[pl.ds(gs, SEG_REG), :], sem_out)
+    cp_out.start()
+    cp_out.wait()
+
+
+def _splice(frames, gsub, glane, gbit, out_zeros, nseg):
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _splice_kernel,
+            out_shape=jax.ShapeDtypeStruct(out_zeros.shape, jnp.int32),
+            grid=(nseg,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, SEG_SUB, 128), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # aliased output buffer
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.VMEM((SEG_REG, 128), jnp.int32),
+                            pltpu.VMEM((SEG_REG, 128), jnp.int32),
+                            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+            input_output_aliases={4: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=_interpret(),
+        )(gsub, glane, gbit, frames, out_zeros)
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "out_sub"))
+def pack_bits(bins_padded, table_codes, table_lens, wlo, nc: int, out_sub: int):
+    """bins_padded (Mp,) stream order -> (packed words (out_sub,128) i32 with
+    stream bit 0 at the MSB of word 0, per-chunk bit counts (nc,))."""
+    # bit-reversed lane arrangement: element c*CHUNK + bitrev7(l)*64 + t
+    # lands at [c, t, l] (pure transpose: split the row index into 7 bit axes
+    # and reverse them)
+    x = bins_padded.reshape((nc,) + (2,) * 7 + (ROW_ELEMS,))
+    x = jnp.transpose(x, (0, 8, 7, 6, 5, 4, 3, 2, 1))
+    bins_bitrev = x.reshape(nc * ROW_ELEMS, LANES)
+
+    frames, cbits = _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, nc)
+    goff = jnp.cumsum(cbits.astype(jnp.int64)) - cbits.astype(jnp.int64)
+    gw = (goff >> 5).astype(jnp.int64)
+    gsub = (gw >> 7).astype(jnp.int32)
+    glane = (gw & 127).astype(jnp.int32)
+    gbit = (goff & 31).astype(jnp.int32)
+    nseg = nc * SEGS_PER_CHUNK
+    frames3 = frames.reshape(nseg, SEG_SUB, 128)
+    out = jnp.zeros((out_sub, 128), jnp.int32)
+    out = _splice(frames3, gsub, glane, gbit, out, nseg)
+    return out, cbits

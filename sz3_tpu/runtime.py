@@ -115,6 +115,13 @@ def lib() -> C.CDLL:
         l.szt_perm_place.restype = C.c_int
         l.szt_perm_place.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p, u64, C.c_uint32,
                                      C.c_void_p, C.c_void_p, C.c_char_p, u64]
+        l.szt_huff_table.restype = C.c_int
+        l.szt_huff_table.argtypes = [C.c_int64, C.c_void_p, u64, C.c_void_p, C.c_void_p,
+                                     C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
+        l.szt_interp_seal_packed.restype = C.c_int
+        l.szt_interp_seal_packed.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p,
+                                             u64, u64, C.c_void_p, u64, u64, C.POINTER(u8p),
+                                             C.POINTER(u64), C.c_char_p, u64]
         _lib = l
     return _lib
 
@@ -353,6 +360,52 @@ def perm_place(perm: np.ndarray, stream: np.ndarray, unpred: np.ndarray, dims, d
     if rc != 0:
         raise RuntimeError(f"szt_perm_place: {err.value.decode()}")
     return bins_grid.reshape(dims), literal.reshape(dims)
+
+
+class DeepTreeError(RuntimeError):
+    """Huffman tree exceeds the device packer's 32-bit code limit."""
+
+
+def huff_table(offset: int, freq: np.ndarray):
+    """Histogram -> (codes u32 right-aligned, lens u8, serialized tree bytes)
+    with the reference's tree-build tie-breaking. freq follows the reference
+    convention: freq[s] = count of symbol offset+s, trailing sentinel slot."""
+    freq = np.ascontiguousarray(freq, dtype=np.uint64)
+    n = freq.size
+    codes = np.empty(n, dtype=np.uint32)
+    lens = np.empty(n, dtype=np.uint8)
+    tree = C.POINTER(C.c_uint8)()
+    tree_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_huff_table(C.c_int64(offset), freq.ctypes.data_as(C.c_void_p),
+                              C.c_uint64(n), codes.ctypes.data_as(C.c_void_p),
+                              lens.ctypes.data_as(C.c_void_p),
+                              C.byref(tree), C.byref(tree_len), err, _ERRCAP)
+    if rc == 1:
+        raise DeepTreeError("huffman code length > 32 bits")
+    if rc != 0:
+        raise RuntimeError(f"szt_huff_table: {err.value.decode()}")
+    return codes, lens, _take(tree, tree_len)
+
+
+def interp_seal_packed(conf: Config, tree: bytes, bits: bytes, bit_count: int,
+                       count: int, unpred: np.ndarray, cap: int) -> bytes:
+    """Device-packed pieces -> payload (byte-identical to interp_seal)."""
+    dt = np_dtype_id(unpred)
+    c = conf_to_c(conf, engine_dtype=dt)
+    unpred = np.ascontiguousarray(unpred)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_interp_seal_packed(C.byref(c), tree, C.c_uint64(len(tree)),
+                                      bits, C.c_uint64(bit_count), C.c_uint64(count),
+                                      unpred.ctypes.data_as(C.c_void_p),
+                                      C.c_uint64(unpred.size), C.c_uint64(cap),
+                                      C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_interp_seal_packed: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
 
 
 def interp_order(conf: Config) -> np.ndarray:

@@ -1,0 +1,140 @@
+"""Device-resident entropy stage: the packed payload must be byte-identical
+to the host emit/seal path given the same bins.
+
+These tests need a real TPU (the Mosaic kernels; the pallas interpreter is
+too slow for even small fields) and are skipped on CPU-only machines. They
+unpin the suite's CPU parity mode so both paths consume the same TPU-computed
+bins — isolating the entropy stage. Scalar-engine parity of the bins is the
+(separate) exact-f64 milestone; full-archive reference parity on CPU backends
+is covered by the golden suite through the host path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import sz3_tpu as szt
+from sz3_tpu import runtime
+from sz3_tpu.config import ALGO, Config
+from sz3_tpu.algos import device_encode, jax_backend
+from sz3_tpu.ops import entropy_device as ed
+
+
+def _has_tpu():
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _has_tpu(), reason="needs a TPU "
+                                "(pallas interpret mode is impractically slow)")
+
+
+@pytest.fixture(autouse=True)
+def _unpin_device(monkeypatch):
+    """Run on the real TPU even under the suite's CPU parity pin."""
+    monkeypatch.delenv("SZT_JAX_DEVICE", raising=False)
+
+
+def _field(dims, seed=3):
+    rng = np.random.default_rng(seed)
+    return np.ascontiguousarray(
+        np.cumsum(rng.standard_normal(dims), axis=0).astype(np.float32) * 0.1)
+
+
+def _conf(dims, eb=1e-3, algo=1):
+    c = Config(dims=dims, cmprAlgo=ALGO.INTERP, absErrorBound=eb)
+    c.interpAnchorStride = 32
+    c.interpAlgo = algo
+    return c
+
+
+CASES = [
+    ((40, 33, 27), 1e-3, 1),
+    ((64, 64, 64), 1e-3, 1),
+    ((65, 33, 40), 1e-4, 1),
+    ((40, 33, 27), 1e-3, 0),     # linear interpolant
+    ((129, 129), 1e-3, 1),       # 2D line-major
+    ((33, 34, 35, 20), 1e-3, 1),  # 4D
+]
+
+
+@pytest.mark.parametrize("dims,eb,algo", CASES)
+def test_device_payload_equals_host(dims, eb, algo):
+    data = _field(dims)
+    cap = 2 * data.nbytes + 4096
+    p_host = jax_backend._interp_encode_payload(_conf(dims, eb, algo),
+                                                data.copy(), cap)
+    c2 = _conf(dims, eb, algo)
+    if len(dims) == 2:
+        c2.interpAnchorStride = 128
+    try:
+        p_dev = device_encode.encode_payload_device(c2, data, cap)
+    except device_encode.Fallback as e:
+        pytest.skip(f"device profile: {e}")
+    assert p_dev == p_host
+
+
+def test_device_payload_decodes_with_native_engine():
+    dims = (50, 40, 30)
+    data = _field(dims, seed=11)
+    cap = 2 * data.nbytes + 4096
+    conf = _conf(dims)
+    payload = device_encode.encode_payload_device(conf, data, cap)
+    out = runtime.decompress_payload(conf, payload,
+                                     dtype=runtime.np_dtype_id(data))
+    assert np.abs(out.astype(np.float64) - data.astype(np.float64)).max() <= 1e-3
+
+
+def test_fallback_paths():
+    # f64 -> Fallback
+    conf = _conf((40, 40, 40))
+    with pytest.raises(device_encode.Fallback):
+        device_encode.encode_payload_device(
+            conf, np.zeros((40, 40, 40), np.float64), 10 << 20)
+    # no anchor grid (dims all <= stride) -> Fallback
+    c2 = Config(dims=(20, 20, 20), cmprAlgo=ALGO.INTERP, absErrorBound=1e-3)
+    c2.interpAnchorStride = 32
+    with pytest.raises(device_encode.Fallback):
+        device_encode.encode_payload_device(
+            c2, np.zeros((20, 20, 20), np.float32), 10 << 20)
+
+
+def test_full_compress_through_public_api_uses_device_path(monkeypatch):
+    """backend='jax' with SZT_DEVICE_ENTROPY=1 produces archives identical to
+    the native engine, through the public compress()."""
+    monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")
+    data = _field((48, 40, 36), seed=5)
+    conf_kw = dict(dims=data.shape, absErrorBound=1e-3, cmprAlgo=ALGO.INTERP)
+    blob_native = szt.compress(data, szt.Config(**conf_kw), set_datatype=False)
+    blob_dev = szt.compress(data, szt.Config(**conf_kw), set_datatype=False,
+                            backend="jax")
+    # bins may differ ulp-wise from the scalar engine on TPU (f64
+    # emulation); entropy-stage equality is covered by the other tests.
+    # Validate round-trip + error bound + size here.
+    out, _ = szt.decompress(blob_dev)
+    assert np.abs(out.astype(np.float64) -
+                  data.astype(np.float64)).max() <= 1e-3
+    assert abs(len(blob_dev) - len(blob_native)) < 0.01 * len(blob_native)
+
+
+def test_histogram_and_literal_kernel_exact():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    n = ed.CHUNK * 2
+    bins = rng.integers(30000, 30100, n).astype(np.int32)
+    bins[rng.random(n) < 0.01] = 0
+    orig = rng.standard_normal(n).astype(np.float32)
+    wlo = 32768 - ed.W_HALF
+    hist, lits, nlit = ed.hist_and_literals(jnp.asarray(bins),
+                                            jnp.asarray(orig), wlo, 64)
+    h = np.asarray(hist).ravel()
+    ref = np.bincount(bins[bins != 0] - wlo + 2, minlength=128 * 128)
+    ref[0] = (bins == 0).sum()
+    assert np.array_equal(h, ref)
+    nl = int(np.asarray(nlit)[0])
+    assert nl == (bins == 0).sum()
+    assert np.array_equal(np.asarray(lits).ravel()[:nl], orig[bins == 0])
