@@ -82,9 +82,9 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
     out_sub = mp // 128 + ed.SEG_REG + 8
 
     @jax.jit
-    def jit_b(bins_stream, tc, tl):
+    def jit_b(bins_stream, tc, tl, c0):
         wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
-        return ed.pack_bits(bins_stream, tc, tl, wlo, nc, out_sub)
+        return ed.pack_bits(bins_stream, tc, tl, wlo, c0, nc, out_sub)
 
     return plan, lp, (jit_a, jit_b, nc, mp, cap_rows)
 
@@ -151,15 +151,19 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
     src = np.clip(idx_syms - offset, 0, state_num - 1)
     tc[2:2 + 2 * ed.W_HALF] = np.where(inrange, codes[src], 0)
     tl[2:2 + 2 * ed.W_HALF] = np.where(inrange, lens[src], 0)
+    c0 = np.zeros(2, np.uint32)
     if 0 in counts:
         tc[0] = codes[0 - offset]
         tl[0] = lens[0 - offset]
+        c0[0] = codes[0 - offset]
+        c0[1] = lens[0 - offset]
+    c0 = c0.view(np.int32)
     tc_dev = jnp.asarray(tc.astype(np.int32).reshape(ed.TBL_ROWS, 128))
     tl_dev = jnp.asarray(tl.astype(np.int32).reshape(ed.TBL_ROWS, 128))
 
     # ---- device: pack ----
     with _maybe_on(dev):
-        words, _cbits = jit_b(bins_stream, tc_dev, tl_dev)
+        words, _cbits = jit_b(bins_stream, tc_dev, tl_dev, jnp.asarray(c0))
     nwords = (total_bits + 31) // 32
     rows = -(-nwords // 128)
     words_np = np.asarray(words[:rows]).ravel()[:nwords]

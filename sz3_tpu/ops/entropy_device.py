@@ -93,7 +93,7 @@ def _sym_index(bins, wlo):
 # ---- jit A: histogram + literal extraction --------------------------------------
 
 
-def _hist_kernel(wlo_ref, bins_col_ref, bins_tile_ref, orig_tile_ref,
+def _hist_kernel(wlo_ref, bins_tile_ref, orig_tile_ref,
                  hist_ref, lits_ref, nlit_ref, acc_ref, ptr_ref):
     ci = pl.program_id(0)
 
@@ -102,14 +102,25 @@ def _hist_kernel(wlo_ref, bins_col_ref, bins_tile_ref, orig_tile_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         ptr_ref[0] = 0
 
-    # exact two-level histogram on the MXU (counts < 2^24 per chunk -> f32
-    # matmul exact; accumulated per chunk into int32)
-    idx = _sym_index(bins_col_ref[:], wlo_ref[0])        # (CHUNK, 1)
-    hi = idx >> jnp.int32(7)
-    lo = idx & jnp.int32(127)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-    ohh = (hi == lane).astype(jnp.int8)
-    ohl = (lo == lane).astype(jnp.int8)
+    # exact two-level histogram on the MXU: per sublane-row, transpose the
+    # 128 elements onto sublanes and dot the int8 one-hots (s8 x s8 -> s32 is
+    # exact). A (CHUNK,1)-shaped input would waste 127/128 of every vreg.
+    idx_t = _sym_index(bins_tile_ref[:], wlo_ref[0])     # (64, 128)
+    hi_t = idx_t >> jnp.int32(7)
+    lo_t = idx_t & jnp.int32(127)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    # transpose each sublane-row's 128 elements onto sublanes (a (64,128) or
+    # (CHUNK,1)-shaped operand wastes 127/128 of every vreg), build the int8
+    # one-hots densely, and fire ONE (8192-contraction) s8 dot per chunk
+    hiT = jnp.transpose(hi_t, (1, 0))                    # (128, 64), one relayout
+    loT = jnp.transpose(lo_t, (1, 0))
+    ohh_rows = []
+    ohl_rows = []
+    for r in range(ROW_ELEMS):
+        ohh_rows.append((hiT[:, r:r + 1] == lane128).astype(jnp.int8))
+        ohl_rows.append((loT[:, r:r + 1] == lane128).astype(jnp.int8))
+    ohh = jnp.concatenate(ohh_rows, axis=0)              # (CHUNK, 128)
+    ohl = jnp.concatenate(ohl_rows, axis=0)
     m = jax.lax.dot_general(ohh, ohl, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     acc_ref[:] = acc_ref[:] + m
@@ -190,18 +201,16 @@ def hist_and_literals(bins_padded, orig_padded, wlo, cap_rows: int):
     literal count)."""
     mp = bins_padded.shape[0]
     nc = mp // CHUNK
-    bins_col = bins_padded.reshape(mp, 1)
     bins_tile = bins_padded.reshape(nc * ROW_ELEMS, LANES)
     orig_tile = orig_padded.reshape(nc * ROW_ELEMS, LANES)
     # x64 must be off while tracing pallas calls: under x64 the grid machinery
     # emits int64 ops that Mosaic cannot legalize ('func.return')
     with jax.enable_x64(False):
-        hist, lits, nlit = _hist_call(bins_col, bins_tile, orig_tile, wlo,
-                                      cap_rows, nc)
+        hist, lits, nlit = _hist_call(bins_tile, orig_tile, wlo, cap_rows, nc)
     return hist, lits, nlit
 
 
-def _hist_call(bins_col, bins_tile, orig_tile, wlo, cap_rows, nc):
+def _hist_call(bins_tile, orig_tile, wlo, cap_rows, nc):
     orig_padded = orig_tile
     hist, lits, nlit = pl.pallas_call(
         _hist_kernel,
@@ -211,7 +220,6 @@ def _hist_call(bins_col, bins_tile, orig_tile, wlo, cap_rows, nc):
         grid=(nc,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
         ],
@@ -225,29 +233,35 @@ def _hist_call(bins_col, bins_tile, orig_tile, wlo, cap_rows, nc):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(jnp.asarray(wlo, jnp.int32).reshape(1), bins_col, bins_tile, orig_tile)
+    )(jnp.asarray(wlo, jnp.int32).reshape(1), bins_tile, orig_tile)
     return hist, lits, nlit
 
 
 # ---- jit B kernel 1: per-chunk pack ---------------------------------------------
 
 
-def _lookup2(idx_tile, ta_ref, tb_ref):
-    """Composed vreg lane-gather: (ta[idx], tb[idx]) for idx < TBL_ROWS*128.
-    One where-chain pass over the table rows serves both tables."""
+def _chain8(idx_tile, t8, base):
+    """where-chain lane-gather over an 8-row table slice (rows base..base+7)."""
     lane = idx_tile & jnp.int32(127)
     row = idx_tile >> jnp.int32(7)
-    acc_a = jnp.zeros_like(idx_tile)
-    acc_b = jnp.zeros_like(idx_tile)
+    acc = jnp.zeros_like(idx_tile)
+    for s in range(8):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(t8[s:s + 1, :], idx_tile.shape), lane, axis=1)
+        acc = jnp.where(row == base + jnp.int32(s), cand, acc)
+    return acc
+
+
+def _chain_full(idx_tile, tref):
+    lane = idx_tile & jnp.int32(127)
+    row = idx_tile >> jnp.int32(7)
+    acc = jnp.zeros_like(idx_tile)
     for s in range(TBL_ROWS):
-        sel = row == s
-        ca = jnp.take_along_axis(
-            jnp.broadcast_to(ta_ref[s, :][None, :], idx_tile.shape), lane, axis=1)
-        cb = jnp.take_along_axis(
-            jnp.broadcast_to(tb_ref[s, :][None, :], idx_tile.shape), lane, axis=1)
-        acc_a = jnp.where(sel, ca, acc_a)
-        acc_b = jnp.where(sel, cb, acc_b)
-    return acc_a, acc_b
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(tref[s, :][None, :], idx_tile.shape), lane,
+            axis=1)
+        acc = jnp.where(row == jnp.int32(s), cand, acc)
+    return acc
 
 
 def _shr32(x, n):
@@ -265,9 +279,39 @@ def _shl32(x, n):
     return jnp.where(ok, (xu << nc).astype(jnp.int32), jnp.int32(0))
 
 
-def _pack_kernel(wlo_ref, bins_ref, tc_ref, tl_ref, frames_ref, cbits_ref):
+def _pack_kernel(wlo_ref, c0_ref, bins_ref, tc_ref, tl_ref,
+                 frames_ref, cbits_ref, codes_ref, lens_ref):
+    i32 = jnp.int32
     idx = _sym_index(bins_ref[:], wlo_ref[0])            # (64, 128)
-    codes, lens = _lookup2(idx, tc_ref, tl_ref)
+    # adaptive lookup: symbols cluster tightly, so the common case reads an
+    # 8-row (1024-entry) window of each table at a dynamic sublane offset;
+    # chunks spanning a wider range take the full-table chain. Special
+    # indices (0: symbol zero, 1: sentinel) resolve from SMEM scalars so
+    # anchors/unpredictables never widen the window.
+    special = idx < i32(2)
+    idxw = jnp.where(special, i32(TBL_ROWS * 128 - 1), idx)
+    rmin = jnp.min(jnp.min(idxw, axis=1, keepdims=True), axis=0,
+                   keepdims=True)[0, 0]
+    idxm = jnp.where(special, i32(0), idx)
+    rmax = jnp.max(jnp.max(idxm, axis=1, keepdims=True), axis=0,
+                   keepdims=True)[0, 0]
+    base = jnp.clip(rmin >> i32(7), i32(0), i32(TBL_ROWS - 8))
+    narrow = (rmax >> i32(7)) - base < i32(8)
+
+    @pl.when(narrow)
+    def _():
+        codes_ref[:] = _chain8(idx, tc_ref[pl.ds(base, 8), :], base)
+        lens_ref[:] = _chain8(idx, tl_ref[pl.ds(base, 8), :], base)
+
+    @pl.when(jnp.logical_not(narrow))
+    def _():
+        codes_ref[:] = _chain_full(idx, tc_ref)
+        lens_ref[:] = _chain_full(idx, tl_ref)
+
+    codes = jnp.where(idx == i32(0), c0_ref[0], codes_ref[:])
+    lens = jnp.where(idx == i32(0), c0_ref[1], lens_ref[:])
+    codes = jnp.where(idx == i32(1), i32(0), codes)
+    lens = jnp.where(idx == i32(1), i32(0), lens)
 
     # 64-step scan: pack each lane's 64 codes MSB-first into its row buffer
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (ROWBUF_W, LANES), 0)
@@ -329,7 +373,7 @@ def _pack_kernel(wlo_ref, bins_ref, tc_ref, tl_ref, frames_ref, cbits_ref):
         cbits_ref[pl.program_id(0) * SEGS_PER_CHUNK + k] = blen[0, k]
 
 
-def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, nc):
+def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, c0, nc):
     with jax.enable_x64(False):
         return pl.pallas_call(
             _pack_kernel,
@@ -337,6 +381,7 @@ def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, nc):
                        jax.ShapeDtypeStruct((nc * SEGS_PER_CHUNK,), jnp.int32)),
             grid=(nc,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((TBL_ROWS, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
@@ -346,10 +391,13 @@ def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, nc):
                 pl.BlockSpec((FRAME_W, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
+            scratch_shapes=[pltpu.VMEM((ROW_ELEMS, LANES), jnp.int32),
+                            pltpu.VMEM((ROW_ELEMS, LANES), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=_interpret(),
-        )(jnp.asarray(wlo, jnp.int32).reshape(1), bins_bitrev,
+        )(jnp.asarray(wlo, jnp.int32).reshape(1),
+          jnp.asarray(c0, jnp.int32).reshape(2), bins_bitrev,
           table_codes, table_lens)
 
 
@@ -425,7 +473,8 @@ def _splice(frames, gsub, glane, gbit, out_zeros, nseg):
 
 
 @functools.partial(jax.jit, static_argnames=("nc", "out_sub"))
-def pack_bits(bins_padded, table_codes, table_lens, wlo, nc: int, out_sub: int):
+def pack_bits(bins_padded, table_codes, table_lens, wlo, c0, nc: int,
+              out_sub: int):
     """bins_padded (Mp,) stream order -> (packed words (out_sub,128) i32 with
     stream bit 0 at the MSB of word 0, per-chunk bit counts (nc,))."""
     # bit-reversed lane arrangement: element c*CHUNK + bitrev7(l)*64 + t
@@ -435,7 +484,8 @@ def pack_bits(bins_padded, table_codes, table_lens, wlo, nc: int, out_sub: int):
     x = jnp.transpose(x, (0, 8, 7, 6, 5, 4, 3, 2, 1))
     bins_bitrev = x.reshape(nc * ROW_ELEMS, LANES)
 
-    frames, cbits = _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, nc)
+    frames, cbits = _pack_chunks(bins_bitrev, table_codes, table_lens, wlo,
+                                 c0, nc)
     goff = jnp.cumsum(cbits.astype(jnp.int64)) - cbits.astype(jnp.int64)
     gw = (goff >> 5).astype(jnp.int64)
     gsub = (gw >> 7).astype(jnp.int32)
