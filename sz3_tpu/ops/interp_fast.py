@@ -152,6 +152,17 @@ def _shift(apad, delta: int, dd: int, p: int):
     return jax.lax.slice(apad, start, stop)
 
 
+def _linear1(a, b):
+    """f32(-0.5*a + 1.5*b) promoted through f64 (Interpolators.hpp linear1).
+    The softfloat path keeps the f64 rounding exact on TPU backends."""
+    from .quantize import exact_mode
+    if exact_mode(0.0) and a.dtype == jnp.float32:
+        from .exactf64 import linear1_exact
+        return linear1_exact(a, b)
+    return (-0.5 * a.astype(jnp.float64) +
+            1.5 * b.astype(jnp.float64)).astype(a.dtype)
+
+
 def _predict_kinds(kind, m2, m1, z0, p1, p2):
     """All basis functions from the 5 coarse shifts (A[j-2..j+2]); T-precision
     op order matches reference utils/Interpolators.hpp:12-39."""
@@ -160,7 +171,7 @@ def _predict_kinds(kind, m2, m1, z0, p1, p2):
     quad2 = (-m1 + 6 * z0 + 3 * p1) / 8
     quad3 = (3 * m2 - 10 * m1 + 15 * z0) / 8
     linear = (z0 + p1) / 2
-    lin1_old = (-0.5 * m1.astype(jnp.float64) + 1.5 * z0.astype(jnp.float64)).astype(z0.dtype)
+    lin1_old = _linear1(m1, z0)
     return jnp.select(
         [kind == K_CUBIC, kind == K_QUAD1, kind == K_QUAD2, kind == K_QUAD3,
          kind == K_LINEAR, kind == K_LIN1_OLD],
@@ -199,8 +210,7 @@ def _stage2_fix(spec: FastPass, a, pred, recon_s1):
     prev = jnp.pad(recon_s1, [(1, 0) if i == spec.dd else (0, 0)
                               for i in range(a.ndim)], mode="edge")
     prev = jax.lax.slice_in_dim(prev, 0, spec.p, 1, axis=spec.dd)
-    lin1 = (-0.5 * prev.astype(jnp.float64) +
-            1.5 * a.astype(jnp.float64)).astype(a.dtype)
+    lin1 = _linear1(prev, a)
     kind = _kindvec(spec, a.ndim)
     return jnp.where(kind == K_LIN1_NEW, lin1, pred)
 

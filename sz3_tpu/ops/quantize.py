@@ -8,13 +8,39 @@ for this op chain).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
 
-def quantize(data, pred, eb: float, radius: int):
+def exact_mode(eb) -> bool:
+    """True when the integer-softfloat f64 path should replace the backend's
+    native f64 (TPU float-float emulation misrounds ulp ties, breaking
+    archive parity; see ops/exactf64.py). Requires a static (host) eb — the
+    sharded REL path traces eb from collectives and keeps the fast path.
+    SZT_EXACT_F64: auto (default, on for TPU runs), 1 (force), 0 (off)."""
+    if not isinstance(eb, float):
+        return False
+    mode = os.environ.get("SZT_EXACT_F64", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("SZT_JAX_DEVICE", "") != "cpu")
+
+
+def quantize(data, pred, eb, radius: int):
+    if exact_mode(eb) and data.dtype == jnp.float32:
+        from .exactf64 import quantize_exact
+        return quantize_exact(data, pred, eb, radius)
+    return _quantize_native(data, pred, eb, radius)
+
+
+def _quantize_native(data, pred, eb, radius: int):
     """Vectorized quantize_and_overwrite.
 
     Returns (bins int32, recon) where bins==0 marks unpredictable points
@@ -42,7 +68,14 @@ def quantize(data, pred, eb: float, radius: int):
     return bins, recon
 
 
-def recover(pred, bins, literal, eb: float, radius: int):
+def recover(pred, bins, literal, eb, radius: int):
+    if exact_mode(eb) and pred.dtype == jnp.float32:
+        from .exactf64 import recover_exact
+        return recover_exact(pred, bins, literal, eb, radius)
+    return _recover_native(pred, bins, literal, eb, radius)
+
+
+def _recover_native(pred, bins, literal, eb, radius: int):
     """Vectorized recover: bins!=0 -> pred + 2*(bin-radius)*eb (f64 math,
     narrowed to T); bins==0 -> the pre-placed literal value
     (reference LinearQuantizer.hpp:74-86)."""

@@ -1,0 +1,152 @@
+"""Integer-softfloat f64 quantization must reproduce IEEE double semantics
+bit-for-bit — property-tested against numpy float64 (a true IEEE
+implementation), including directed ulp-tie and boundary cases.
+
+These tests are meaningful on ANY backend (the module uses only integer and
+f32 ops), and on TPU they prove the quantizer no longer depends on the
+float-float f64 emulation that broke archive parity."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sz3_tpu.ops.exactf64 import (linear1_exact, quantize_exact,
+                                  recover_exact)
+
+RADIUS = 32768
+
+
+def np_quantize(data, pred, eb, radius):
+    """Reference semantics in numpy float64 (mirrors native quantizer.hpp /
+    reference LinearQuantizer.hpp:43-71)."""
+    eb = np.float64(eb)
+    recip = np.float64(1.0) / eb
+    diff = data - pred                           # f32
+    scaled = np.abs(diff.astype(np.float64)) * recip
+    clampv = np.float64(2 * radius)
+    sc = np.where(scaled < clampv, scaled, clampv)
+    with np.errstate(invalid="ignore"):
+        qi = sc.astype(np.int64).astype(np.int32) + 1
+    half = qi >> 1
+    qe = half << 1
+    neg = diff < 0
+    q = np.where(neg, -qe, qe).astype(np.int64)
+    dec = (pred.astype(np.float64) + q.astype(np.float64) * eb
+           ).astype(np.float32)
+    err = np.abs((dec - data).astype(np.float64))
+    ok = (qi < 2 * radius) & (err <= eb) & np.isfinite(diff)
+    bins = np.where(ok, np.where(neg, radius - half, radius + half), 0)
+    recon = np.where(ok, dec, data)
+    return bins.astype(np.int32), recon
+
+
+def np_recover(pred, bins, literal, eb, radius):
+    eb = np.float64(eb)
+    dec = (pred.astype(np.float64) +
+           (2 * (bins.astype(np.int64) - radius)).astype(np.float64) * eb
+           ).astype(np.float32)
+    return np.where(bins != 0, dec, literal)
+
+
+def _check(data, pred, eb, radius=RADIUS):
+    bins_ref, recon_ref = np_quantize(data, pred, eb, radius)
+    bins, recon = quantize_exact(jnp.asarray(data), jnp.asarray(pred), eb,
+                                 radius)
+    bins = np.asarray(bins)
+    recon = np.asarray(recon)
+    mism = np.nonzero(bins != bins_ref)[0]
+    assert mism.size == 0, (
+        f"bins mismatch at {mism[:5]}: got {bins[mism[:5]]} want "
+        f"{bins_ref[mism[:5]]} data={data[mism[:5]]} pred={pred[mism[:5]]}")
+    assert np.array_equal(recon.view(np.int32), recon_ref.view(np.int32))
+    # recover side
+    lit = data
+    rec_ref = np_recover(pred, bins_ref, lit, eb, radius)
+    rec = np.asarray(recover_exact(jnp.asarray(pred), jnp.asarray(bins_ref),
+                                   jnp.asarray(lit), eb, radius))
+    assert np.array_equal(rec.view(np.int32), rec_ref.view(np.int32))
+
+
+EBS = [1e-3, 1e-4, 3.7e-2, 1.1920929e-07, 123.456, 1e-9]
+
+
+@pytest.mark.parametrize("eb", EBS)
+def test_random_uniform(eb):
+    rng = np.random.default_rng(hash(eb) % 2**31)
+    n = 1 << 16
+    data = rng.standard_normal(n).astype(np.float32) * 10
+    pred = data + rng.standard_normal(n).astype(np.float32) * np.float32(5 * eb)
+    _check(data, pred, eb)
+
+
+@pytest.mark.parametrize("eb", [1e-3, 7.3e-5])
+def test_wide_scales(eb):
+    rng = np.random.default_rng(7)
+    n = 1 << 16
+    scale = np.exp2(rng.integers(-40, 40, n)).astype(np.float32)
+    data = (rng.standard_normal(n).astype(np.float32) * scale)
+    pred = (data.astype(np.float64) *
+            (1 + rng.standard_normal(n) * 1e-3)).astype(np.float32)
+    _check(data, pred, eb)
+
+
+@pytest.mark.parametrize("eb", [1e-3, 2.5e-4])
+def test_directed_ulp_boundaries(eb):
+    """Values engineered so scaled lands within a few f64 ulps of integer
+    and half-integer boundaries — exactly where float-float emulation
+    misrounds."""
+    rng = np.random.default_rng(11)
+    qs = rng.integers(0, 2 * RADIUS, 1 << 14)
+    pred = rng.standard_normal(1 << 14).astype(np.float32)
+    base = pred.astype(np.float64) + qs * np.float64(eb)
+    outs = []
+    for bump in (-2, -1, 0, 1, 2):
+        d = base.astype(np.float32)
+        step = np.where(bump >= 0, np.float32(np.inf), np.float32(-np.inf))
+        v = d.copy()
+        for _ in range(abs(bump)):
+            v = np.nextafter(v, step)
+        outs.append(v)
+    data = np.concatenate(outs)
+    predN = np.tile(pred, 5)
+    _check(data, predN, eb)
+
+
+def test_exact_halfway_and_err_equality():
+    eb = 0.125  # power of two: products hit exact halves often
+    rng = np.random.default_rng(3)
+    pred = (rng.integers(-1000, 1000, 1 << 14) * np.float32(0.25)).astype(np.float32)
+    q = rng.integers(-100, 100, 1 << 14)
+    data = (pred.astype(np.float64) + (q + 0.5) * eb).astype(np.float32)
+    _check(data, pred, eb)
+    data2 = (pred.astype(np.float64) + q * eb + eb).astype(np.float32)
+    _check(data2, pred, eb)
+
+
+def test_specials_and_edges():
+    eb = 1e-3
+    data = np.array([0.0, -0.0, 1e-38, -1e-38, 3.4e38, -3.4e38,
+                     np.inf, -np.inf, np.nan, 1e-44, 5.0], np.float32)
+    pred = np.array([0.0, 0.0, 0.0, 1e-38, 3.4e38, 3.39e38,
+                     1.0, 0.0, 0.0, 0.0, 5.0], np.float32)
+    _check(data, pred, eb)
+
+
+def test_zero_diff_and_tiny_eb():
+    data = np.full(64, 1.2345678, np.float32)
+    _check(data, data.copy(), 1e-12)
+
+
+def test_linear1_matches_f64():
+    rng = np.random.default_rng(5)
+    for n in range(4):
+        a = (rng.standard_normal(1 << 14) * np.exp2(
+            rng.integers(-30, 30, 1 << 14))).astype(np.float32)
+        b = (rng.standard_normal(1 << 14) * np.exp2(
+            rng.integers(-30, 30, 1 << 14))).astype(np.float32)
+        ref = (-0.5 * a.astype(np.float64) +
+               1.5 * b.astype(np.float64)).astype(np.float32)
+        got = np.asarray(linear1_exact(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(got.view(np.int32), ref.view(np.int32)), \
+            np.nonzero(got.view(np.int32) != ref.view(np.int32))[0][:5]

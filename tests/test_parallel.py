@@ -92,3 +92,51 @@ class TestChunkedArchive:
         sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestShardedPayload:
+    """Full mesh encode->archive->decode with ragged dim0 (VERDICT r1 item 2):
+    the device path must accept dim0 % n != 0 (reference SZImplOMP.hpp:48-50
+    splits unevenly) and its archives/reconstructions must be byte-identical
+    to the native chunked engine's."""
+
+    def test_ragged_rel_payload_parity_and_mesh_decode(self, mesh):
+        from sz3_tpu import runtime
+        from sz3_tpu.config import ALGO
+        from sz3_tpu.parallel.sharded import (sharded_decode_payload,
+                                              sharded_encode_payload)
+
+        data = field((52, 12, 10))  # 52 rows / 8 devices -> heights 6 and 7
+        conf = Config(dims=data.shape, cmprAlgo=ALGO.INTERP,
+                      errorBoundMode=EB.REL, relErrorBound=1e-3, openmp=True)
+        payload = sharded_encode_payload(conf, data, mesh)
+
+        conf_n = Config(dims=data.shape, cmprAlgo=ALGO.INTERP,
+                        errorBoundMode=EB.REL, relErrorBound=1e-3, openmp=True)
+        native = runtime.compress_payload(conf_n, data, 2 * data.nbytes + 4096,
+                                          nthreads=8)
+        assert payload == native
+
+        conf_d = Config(dims=data.shape, openmp=True)
+        out = sharded_decode_payload(conf_d, payload, mesh, np.float32)
+        out_host = runtime.decompress_payload(conf_n, native)
+        assert np.array_equal(out, out_host)
+
+    def test_even_abs_payload(self, mesh):
+        from sz3_tpu import runtime
+        from sz3_tpu.config import ALGO
+        from sz3_tpu.parallel.sharded import (sharded_decode_payload,
+                                              sharded_encode_payload)
+
+        data = field((16, 10, 12))
+        conf = Config(dims=data.shape, cmprAlgo=ALGO.INTERP,
+                      absErrorBound=1e-3, openmp=True)
+        payload = sharded_encode_payload(conf, data, mesh)
+        conf_n = Config(dims=data.shape, cmprAlgo=ALGO.INTERP,
+                        absErrorBound=1e-3, openmp=True)
+        native = runtime.compress_payload(conf_n, data, 2 * data.nbytes + 4096,
+                                          nthreads=8)
+        assert payload == native
+        conf_d = Config(dims=data.shape, openmp=True)
+        out = sharded_decode_payload(conf_d, payload, mesh, np.float32)
+        assert np.abs(out - data).max() <= 1e-3 * 1.0000001
