@@ -1,7 +1,8 @@
-// Optimal 1D k-means (SMAWK + Grønlund et al. DP) and the MDZ level detector.
+// Optimal 1D k-means (monotone-matrix DP via divide & conquer) and the MDZ
+// level detector.
 //
 // Behavior contract (reference utils/KmeansUtil.hpp):
-//  - cluster(): DP over sorted samples with SMAWK row minima; k grows until
+//  - cluster(): DP over sorted samples with monotone row minima; k grows until
 //    the cost-ratio heuristic D(k-1)/D(k) / running-average > 1.5 stops
 //    firing (:179-207); centroids by backtracking (:222-239).
 //  - get_cluster(): samples the data, runs cluster() with trial k=150; if no
@@ -27,55 +28,39 @@ namespace szt {
 
 namespace kmeans1d {
 
-// SMAWK row-minima over an implicit totally monotone matrix.
+// Row-minima of the implicitly-defined totally monotone DP matrix via
+// divide-and-conquer: total monotonicity makes the (smallest-index) argmin
+// non-decreasing in the row index, so solving the middle row pins the
+// search range for each half. O(n log n) per DP layer — plenty for the
+// <=20k-sample, k<=150 clustering this feeds — and structurally independent
+// of the reference's SMAWK formulation while producing identical argmins
+// (same cost values, same smallest-index tie-breaking).
 template <typename T>
-void smawk_rec(const std::vector<size_t>& rows, const std::vector<size_t>& cols,
-               const std::function<T(size_t, size_t)>& lookup, std::vector<size_t>* result) {
-    if (rows.empty()) return;
-    std::vector<size_t> surv;
-    for (size_t col : cols) {
-        while (!surv.empty()) {
-            size_t row = rows[surv.size() - 1];
-            if (lookup(row, col) >= lookup(row, surv.back())) break;
-            surv.pop_back();
+void monotone_argmin_rec(size_t row_lo, size_t row_hi, size_t col_lo, size_t col_hi,
+                         const std::function<T(size_t, size_t)>& lookup,
+                         std::vector<size_t>& result) {
+    if (row_lo >= row_hi) return;
+    size_t mid = row_lo + (row_hi - row_lo) / 2;
+    size_t best = col_lo;
+    T best_v = lookup(mid, col_lo);
+    for (size_t c = col_lo + 1; c <= col_hi; ++c) {
+        T v = lookup(mid, c);
+        if (v < best_v) {
+            best_v = v;
+            best = c;
         }
-        if (surv.size() < rows.size()) surv.push_back(col);
     }
-    std::vector<size_t> odd_rows;
-    for (size_t i = 1; i < rows.size(); i += 2) odd_rows.push_back(rows[i]);
-    smawk_rec(odd_rows, surv, lookup, result);
-
-    std::unordered_map<size_t, size_t> col_idx;
-    col_idx.reserve(surv.size());
-    for (size_t i = 0; i < surv.size(); ++i) col_idx[surv[i]] = i;
-    auto col_pos = [&](size_t c) { return col_idx[c]; };
-    size_t start = 0;
-    for (size_t r = 0; r < rows.size(); r += 2) {
-        size_t row = rows[r];
-        size_t stop = surv.size() - 1;
-        if (r + 1 < rows.size()) stop = col_pos((*result)[rows[r + 1]]);
-        size_t argmin = surv[start];
-        T mn = lookup(row, argmin);
-        for (size_t c = start + 1; c <= stop; ++c) {
-            T v = lookup(row, surv[c]);
-            if (v < mn) {
-                argmin = surv[c];
-                mn = v;
-            }
-        }
-        (*result)[row] = argmin;
-        start = stop;
-    }
+    result[mid] = best;
+    monotone_argmin_rec(row_lo, mid, col_lo, best, lookup, result);
+    monotone_argmin_rec(mid + 1, row_hi, best, col_hi, lookup, result);
 }
 
 template <typename T>
-std::vector<size_t> smawk(size_t num_rows, size_t num_cols,
+std::vector<size_t> monotone_argmin(size_t num_rows, size_t num_cols,
                           const std::function<T(size_t, size_t)>& lookup) {
     std::vector<size_t> result(num_rows);
-    std::vector<size_t> rows(num_rows), cols(num_cols);
-    std::iota(rows.begin(), rows.end(), 0);
-    std::iota(cols.begin(), cols.end(), 0);
-    smawk_rec<T>(rows, cols, lookup, &result);
+    if (num_rows && num_cols)
+        monotone_argmin_rec<T>(0, num_rows, 0, num_cols - 1, lookup, result);
     return result;
 }
 
@@ -127,7 +112,7 @@ inline void cluster(float* array, size_t n, int& k, float* centroids) {
             size_t col = i < j - 1 ? i : j - 1;
             return D[size_t(k_ - 1) * n + col] + float(cost.calc(j, i));
         };
-        std::vector<size_t> argmins = smawk<float>(n, n, C);
+        std::vector<size_t> argmins = monotone_argmin<float>(n, n, C);
         for (size_t i = 0; i < n; ++i) {
             D[size_t(k_) * n + i] = C(i, argmins[i]);
             T[size_t(k_) * n + i] = argmins[i];

@@ -42,61 +42,55 @@ static const int kMagic[] = {
 constexpr int kFirstIdx = 9;
 constexpr int kLastIdx = int(sizeof(kMagic) / sizeof(*kMagic));
 
-// MSB-first bit writer over a growable byte buffer (sendbits semantics).
+// MSB-first bit stream I/O. The WIRE FORMAT (bit order, the mixed-radix
+// big-int layout, the magic size table above) is the public GROMACS XTC
+// format, which the reference implements via an LGPL libxdrf port; these
+// 64-bit-accumulator coders are an independent implementation of that
+// format — bits enter/leave a right-aligned accumulator and are flushed a
+// byte at a time, with no per-byte carry state.
 struct BitWriter {
     std::vector<uint8_t> data;
-    size_t index = 0;
-    int lastbits = 0;
-    uint32_t lastbyte = 0;
-
-    void ensure(size_t n) {
-        if (data.size() < index + n + 8) data.resize((index + n + 8) * 2 + 64);
-    }
+    uint64_t acc = 0;  // pending bits, right-aligned
+    int nacc = 0;
 
     void put(int nbits, uint32_t num) {
-        ensure(size_t(nbits / 8) + 2);
-        while (nbits >= 8) {
-            lastbyte = (lastbyte << 8) | ((num >> (nbits - 8)) & 0xffffffffu);
-            data[index++] = uint8_t(lastbyte >> lastbits);
-            nbits -= 8;
+        if (nbits <= 0) return;
+        uint64_t mask = nbits >= 32 ? 0xFFFFFFFFull : ((1ull << nbits) - 1);
+        acc = (acc << nbits) | (uint64_t(num) & mask);
+        nacc += nbits;
+        while (nacc >= 8) {
+            nacc -= 8;
+            data.push_back(uint8_t(acc >> nacc));
         }
-        if (nbits > 0) {
-            lastbyte = (lastbyte << nbits) | num;
-            lastbits += nbits;
-            if (lastbits >= 8) {
-                lastbits -= 8;
-                data[index++] = uint8_t(lastbyte >> lastbits);
-            }
-        }
-        if (lastbits > 0) data[index] = uint8_t(lastbyte << (8 - lastbits));
     }
 
-    size_t finish() { return lastbits != 0 ? index + 1 : index; }
+    // flush the trailing partial byte (high bits first) and return the byte
+    // count; idempotent-enough for the single end-of-frame call sites
+    size_t finish() {
+        if (nacc > 0) {
+            data.push_back(uint8_t(acc << (8 - nacc)));
+            acc = 0;
+            nacc = 0;
+        }
+        return data.size();
+    }
 };
 
 struct BitReader {
     const uint8_t* data;
     size_t index = 0;
-    int lastbits = 0;
-    uint32_t lastbyte = 0;
+    uint64_t acc = 0;
+    int nacc = 0;
 
     int get(int nbits) {
-        uint32_t mask = uint32_t((uint64_t(1) << nbits) - 1);
-        uint32_t num = 0;
-        while (nbits >= 8) {
-            lastbyte = (lastbyte << 8) | data[index++];
-            num |= (lastbyte >> lastbits) << (nbits - 8);
-            nbits -= 8;
+        if (nbits <= 0) return 0;
+        while (nacc < nbits) {
+            acc = (acc << 8) | data[index++];
+            nacc += 8;
         }
-        if (nbits > 0) {
-            if (lastbits < nbits) {
-                lastbits += 8;
-                lastbyte = (lastbyte << 8) | data[index++];
-            }
-            lastbits -= nbits;
-            num |= (lastbyte >> lastbits) & ((1u << nbits) - 1);
-        }
-        return int(num & mask);
+        nacc -= nbits;
+        uint64_t mask = nbits >= 32 ? 0xFFFFFFFFull : ((1ull << nbits) - 1);
+        return int((acc >> nacc) & mask);
     }
 };
 
@@ -269,7 +263,7 @@ class XtcCoder {
         int larger = kMagic[max_idx] / 2;
 
         BitWriter w;
-        w.ensure(triplets * 12 + 64);
+        w.data.reserve(triplets * 12 + 64);
         size_t i = 0;
         int prev_coord[3] = {0, 0, 0};
         int prev_run = -1;
