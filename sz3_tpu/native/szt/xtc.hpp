@@ -307,12 +307,19 @@ class XtcCoder {
             int run = 0;
             if (!is_small && is_smaller == -1) is_smaller = 0;
             while (is_small && run < 8 * 3) {
-                long d0 = long(this_coord[0]) - prev_coord[0];
-                long d1 = long(this_coord[1]) - prev_coord[1];
-                long d2 = long(this_coord[2]) - prev_coord[2];
-                if (is_smaller == -1 &&
-                    d0 * d0 + d1 * d1 + d2 * d2 >= long(smaller) * smaller)
-                    is_smaller = 0;
+                // the reference evaluates SQR(d0)+SQR(d1)+SQR(d2) >=
+                // smaller*smaller in int arithmetic, which OVERFLOWS once
+                // smaller exceeds ~46341 (fine error bounds on wide-range
+                // trajectories). Byte parity requires reproducing the wrap,
+                // so do the multiplies in uint32 and compare as int32.
+                int32_t d0 = this_coord[0] - prev_coord[0];
+                int32_t d1 = this_coord[1] - prev_coord[1];
+                int32_t d2 = this_coord[2] - prev_coord[2];
+                int32_t sq = int32_t(uint32_t(d0) * uint32_t(d0) +
+                                     uint32_t(d1) * uint32_t(d1) +
+                                     uint32_t(d2) * uint32_t(d2));
+                int32_t thr = int32_t(uint32_t(smaller) * uint32_t(smaller));
+                if (is_smaller == -1 && sq >= thr) is_smaller = 0;
                 tmp_coord[run++] = uint32_t(int(d0) + small_num);
                 tmp_coord[run++] = uint32_t(int(d1) + small_num);
                 tmp_coord[run++] = uint32_t(int(d2) + small_num);
@@ -330,6 +337,9 @@ class XtcCoder {
             } else {
                 w.put(1, 0);
             }
+#ifdef SZT_XTC_TRACE
+            fprintf(stderr, "E i=%zu run=%d smaller=%d sidx=%d\n", i, run, is_smaller, small_idx);
+#endif
             for (int k = 0; k < run; k += 3) sendints(w, 3, small_idx, size_small, &tmp_coord[k]);
             if (is_smaller != 0) {
                 small_idx += is_smaller;
@@ -411,6 +421,9 @@ class XtcCoder {
                 run -= is_smaller;
                 is_smaller--;
             }
+#ifdef SZT_XTC_TRACE
+            fprintf(stderr, "D i=%zu run=%d smaller=%d sidx=%d\n", i + (size_t)run/3, run, is_smaller, small_idx);
+#endif
             if (run > 0) {
                 for (int k = 0; k < run; k += 3) {
                     receiveints(r, 3, small_idx, size_small, this_coord);
