@@ -115,6 +115,113 @@ def mdz_decompress(blob: bytes) -> np.ndarray:
     return out
 
 
+# ---- LAMMPS in-situ hooks (reference tools/mdz/include/mdz.hpp:283-359) -------
+
+def lammps_compress(data: np.ndarray, method: int, *, abs_eb: float = 1e-3,
+                    level=(0.0, 0.0, 0), ts0: Optional[np.ndarray] = None,
+                    quantbin: int = 1024, block_size: int = 128) -> bytes:
+    """Compress one in-situ (frames x atoms) float32 batch with an explicit
+    MDZ method (0 VQ, 1 VQT, 2 MT, 3 LR, 4 TS), as an MD engine would call
+    per output interval. `level` = (start, offset, num) from level_detect."""
+    import ctypes as C
+
+    from . import runtime
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    frames, atoms = data.shape
+    ls, lo, ln = level
+    t = np.ascontiguousarray(ts0, dtype=np.float32) if ts0 is not None else None
+    lib = _lammps_lib()
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(1024)
+    rc = lib.szt_lammps_compress(
+        C.c_uint64(frames), C.c_uint64(atoms), C.c_double(abs_eb),
+        C.c_int32(quantbin), C.c_int32(block_size), C.c_int32(method),
+        C.c_float(ls), C.c_float(lo), C.c_int32(ln),
+        t.ctypes.data_as(C.c_void_p) if t is not None else None,
+        data.ctypes.data_as(C.c_void_p), C.byref(out), C.byref(out_len),
+        err, 1024)
+    if rc != 0:
+        raise RuntimeError(f"lammps_compress: {err.value.decode()}")
+    blob = C.string_at(out, out_len.value)
+    runtime.lib().szt_free(out)
+    return blob
+
+
+def lammps_decompress(blob: bytes, method: int, frames: int, atoms: int, *,
+                      abs_eb: float = 1e-3, level=(0.0, 0.0, 0),
+                      ts0: Optional[np.ndarray] = None, quantbin: int = 1024,
+                      block_size: int = 128) -> np.ndarray:
+    import ctypes as C
+    ls, lo, ln = level
+    t = np.ascontiguousarray(ts0, dtype=np.float32) if ts0 is not None else None
+    out = np.empty((frames, atoms), np.float32)
+    lib = _lammps_lib()
+    err = C.create_string_buffer(1024)
+    rc = lib.szt_lammps_decompress(
+        C.c_uint64(frames), C.c_uint64(atoms), C.c_double(abs_eb),
+        C.c_int32(quantbin), C.c_int32(block_size), C.c_int32(method),
+        C.c_float(ls), C.c_float(lo), C.c_int32(ln),
+        t.ctypes.data_as(C.c_void_p) if t is not None else None,
+        blob, C.c_uint64(len(blob)), out.ctypes.data_as(C.c_void_p),
+        err, 1024)
+    if rc != 0:
+        raise RuntimeError(f"lammps_decompress: {err.value.decode()}")
+    return out
+
+
+def lammps_select_compressor(data: np.ndarray, *, firsttime: bool,
+                             abs_eb: float = 1e-3, level=(0.0, 0.0, 0),
+                             ts0: Optional[np.ndarray] = None,
+                             quantbin: int = 1024, block_size: int = 128) -> int:
+    """Re-select the per-interval method by trial-compressing a sample of the
+    batch (reference LAMMPS_select_compressor semantics: on the first call
+    the equilibration half is skipped; trials clamp to 10 frames)."""
+    import ctypes as C
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    frames, atoms = data.shape
+    ls, lo, ln = level
+    t = np.ascontiguousarray(ts0, dtype=np.float32) if ts0 is not None else None
+    m = C.c_int32()
+    lib = _lammps_lib()
+    err = C.create_string_buffer(1024)
+    rc = lib.szt_lammps_select(
+        C.c_uint64(frames), C.c_uint64(atoms), C.c_double(abs_eb),
+        C.c_int32(quantbin), C.c_int32(block_size),
+        C.c_int32(1 if firsttime else 0),
+        C.c_float(ls), C.c_float(lo), C.c_int32(ln),
+        t.ctypes.data_as(C.c_void_p) if t is not None else None,
+        data.ctypes.data_as(C.c_void_p), C.byref(m), err, 1024)
+    if rc != 0:
+        raise RuntimeError(f"lammps_select: {err.value.decode()}")
+    return int(m.value)
+
+
+def _lammps_lib():
+    import ctypes as C
+
+    from . import runtime
+    lib = runtime.lib()
+    if not getattr(lib, "_lammps_bound", False):
+        u64, i32, f32 = C.c_uint64, C.c_int32, C.c_float
+        u8p = C.POINTER(C.c_uint8)
+        lib.szt_lammps_compress.restype = C.c_int
+        lib.szt_lammps_compress.argtypes = [u64, u64, C.c_double, i32, i32, i32,
+                                            f32, f32, i32, C.c_void_p, C.c_void_p,
+                                            C.POINTER(u8p), C.POINTER(u64),
+                                            C.c_char_p, u64]
+        lib.szt_lammps_decompress.restype = C.c_int
+        lib.szt_lammps_decompress.argtypes = [u64, u64, C.c_double, i32, i32, i32,
+                                              f32, f32, i32, C.c_void_p, C.c_char_p,
+                                              u64, C.c_void_p, C.c_char_p, u64]
+        lib.szt_lammps_select.restype = C.c_int
+        lib.szt_lammps_select.argtypes = [u64, u64, C.c_double, i32, i32, i32,
+                                          f32, f32, i32, C.c_void_p, C.c_void_p,
+                                          C.POINTER(i32), C.c_char_p, u64]
+        lib._lammps_bound = True
+    return lib
+
+
 def main(argv=None):
     """CLI mirroring the reference `mdz` tool (tools/mdz/mdz.cpp:4-10):
     mdz file -2 n_frames n_atoms -r reb [batch] [method] [quantbin]"""

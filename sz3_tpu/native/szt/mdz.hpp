@@ -318,6 +318,91 @@ std::vector<uint8_t> mdz_run_method(int method, size_t frames, size_t atoms, dou
     return mdz_lr_compress<T>(frames, atoms, abs_eb, p.quantbin, p.block_size, data, cap);
 }
 
+// ---- LAMMPS in-situ hooks (reference tools/mdz/include/mdz.hpp:283-359) ----
+// Per-batch entry points for an MD engine writing snapshots as they are
+// produced: compress one (frames x atoms) batch with an explicit method, and
+// re-select the method by trial-compressing a sample of the batch.
+
+template <class T>
+std::vector<uint8_t> lammps_compress(size_t frames, size_t atoms, double abs_eb, int quantbin,
+                                     int block_size, int method, float ls, float lo, int ln,
+                                     const T* ts0, const T* data) {
+    if ((method == 0 || method == 1) && ln == 0)
+        throw std::runtime_error("VQ/VQT not available on current dataset, please use ADP or MT");
+    MdzParams p;
+    p.quantbin = quantbin;
+    p.block_size = block_size;
+    size_t n = frames * atoms;
+    std::vector<T> buf(data, data + n);  // methods overwrite their input
+    return mdz_run_method<T>(method, frames, atoms, abs_eb, p, ls, lo, ln, ts0, buf.data(),
+                             2 * n * sizeof(T) + 4096);
+}
+
+template <class T>
+void lammps_decompress(size_t frames, size_t atoms, double abs_eb, int quantbin, int block_size,
+                       int method, float ls, float lo, int ln, const T* ts0, const uint8_t* cmp,
+                       size_t len, T* out) {
+    if (method == 0 || method == 1) {
+        ExaaltCodec<T> c;
+        c.quant = LinearQuantizer<T>(abs_eb, quantbin / 2);
+        c.level_start = ls;
+        c.level_offset = lo;
+        c.level_num = ln + 200;
+        c.timestep_op = method;
+        c.frames = frames;
+        c.atoms = atoms;
+        c.decompress(cmp, len, out);
+    } else if (method == 2 || method == 4) {
+        TimeSeriesCodec<T> c;
+        c.frames = frames;
+        c.atoms = atoms;
+        c.quant = LinearQuantizer<T>(abs_eb, quantbin / 2);
+        c.ts0 = method == 2 ? ts0 : nullptr;
+        mdz_open_ts(c, cmp, len, out);
+    } else {
+        mdz_lr_decompress<T>(frames, atoms, block_size, cmp, len, out);
+    }
+}
+
+// Reference LAMMPS_select_compressor (:311-359): on the first call skip the
+// equilibration half of the batch; clamp the trial to 10 frames; candidates
+// are {VQ, VQT} when a level grid exists else {LR}, always plus {MT}.
+template <class T>
+int lammps_select_compressor(size_t frames, size_t atoms, double abs_eb, int quantbin,
+                             int block_size, bool firsttime, float ls, float lo, int ln,
+                             const T* ts0, const T* data) {
+    const T* base = data;
+    size_t f = frames;
+    if (firsttime) {
+        f = frames / 2;
+        base = data + f * atoms;
+    }
+    if (f > 10) f = 10;
+    size_t n = f * atoms;
+    size_t cap = 2 * n * sizeof(T) + 4096;
+    MdzParams p;
+    p.quantbin = quantbin;
+    p.block_size = block_size;
+    std::vector<size_t> sizes(10, std::numeric_limits<size_t>::max());
+    std::vector<T> buf(n);
+    auto trial = [&](int m) {
+        std::copy(base, base + n, buf.begin());
+        try {
+            sizes[size_t(m)] =
+                mdz_run_method<T>(m, f, atoms, abs_eb, p, ls, lo, ln, ts0, buf.data(), cap).size();
+        } catch (...) {
+        }
+    };
+    if (ln > 0) {
+        trial(0);
+        trial(1);
+    } else {
+        trial(3);
+    }
+    trial(2);
+    return int(std::min_element(sizes.begin(), sizes.end()) - sizes.begin());
+}
+
 // trial-compress candidates on up to 10 frames, keep the smallest
 // (reference select, mdz.hpp:216-263)
 template <class T>

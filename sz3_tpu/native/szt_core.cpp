@@ -694,6 +694,48 @@ int szt_interp_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len
     }
 }
 
+// ---- MDZ LAMMPS in-situ hooks (reference tools/mdz/include/mdz.hpp:283-359) --
+
+int szt_lammps_compress(uint64_t frames, uint64_t atoms, double abs_eb, int32_t quantbin,
+                        int32_t block_size, int32_t method, float ls, float lo, int32_t ln,
+                        const float* ts0, const float* data, uint8_t** out, uint64_t* out_len,
+                        char* err, uint64_t errcap) {
+    try {
+        auto v = detail::lammps_compress<float>(frames, atoms, abs_eb, quantbin, block_size, method, ls,
+                                        lo, ln, ts0, data);
+        *out = to_malloc(v, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_lammps_decompress(uint64_t frames, uint64_t atoms, double abs_eb, int32_t quantbin,
+                          int32_t block_size, int32_t method, float ls, float lo, int32_t ln,
+                          const float* ts0, const uint8_t* cmp, uint64_t len, float* out,
+                          char* err, uint64_t errcap) {
+    try {
+        detail::lammps_decompress<float>(frames, atoms, abs_eb, quantbin, block_size, method, ls, lo, ln,
+                                 ts0, cmp, len, out);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_lammps_select(uint64_t frames, uint64_t atoms, double abs_eb, int32_t quantbin,
+                      int32_t block_size, int32_t firsttime, float ls, float lo, int32_t ln,
+                      const float* ts0, const float* data, int32_t* method_out, char* err,
+                      uint64_t errcap) {
+    try {
+        *method_out = detail::lammps_select_compressor<float>(frames, atoms, abs_eb, quantbin, block_size,
+                                                      firsttime != 0, ls, lo, ln, ts0, data);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- cached-permutation fast path (JAX device backend) -----------------------
 // The grid<->stream permutation is data-independent per (dims, algo, direction,
 // anchor_stride); the Python layer caches it (runtime.interp_order) and applies

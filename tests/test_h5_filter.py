@@ -108,3 +108,36 @@ class TestH5Filter:
         with h5py.File(p) as f:
             out = f["d"][:]
         assert np.abs(out - arr).max() <= 1e-3
+
+
+class TestH5Tools:
+    """The shipped helper tools (reference tools/H5Z-SZ3/test/*.cpp)."""
+
+    def test_round_trip_through_tools(self, tmp_path, monkeypatch):
+        h5py = pytest.importorskip("h5py")
+        from sz3_tpu import h5tools
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        arr = np.cumsum(rng.standard_normal((20, 30, 40)).astype(np.float32),
+                        axis=0) * 0.1
+        arr.tofile("x.dat")
+        (tmp_path / "sz3.config").write_text(
+            "[GlobalSettings]\nCmprAlgo = ALGO_INTERP_LORENZO\n"
+            "ErrorBoundMode = ABS\nAbsErrorBound = 1e-5\n")
+        assert h5tools.main(["sz3ToHDF5", "FLOAT", "x.dat",
+                             "40", "30", "20"]) == 0
+        assert h5tools.main(["dsz3FromHDF5", "x.dat.sz3.h5"]) == 0
+        out = np.fromfile("x.dat.sz3.h5.out", np.float32).reshape(arr.shape)
+        err = np.abs(out - arr).max()
+        assert err <= 1e-5 * 1.0000001   # the INI bound, not the default
+        # compressed file materially smaller than raw HDF5
+        assert h5tools.main(["convertBinToHDF5", "FLOAT", "v", "x.dat",
+                             "40", "30", "20"]) == 0
+        import os
+        # eb 1e-5 on a noisy field compresses modestly; just require a win
+        assert os.path.getsize("x.dat.sz3.h5") < os.path.getsize("x.dat.h5")
+
+    def test_usage_errors(self, capsys):
+        from sz3_tpu import h5tools
+        assert h5tools.main([]) == 1
+        assert h5tools.main(["sz3ToHDF5"]) == 1

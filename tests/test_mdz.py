@@ -95,3 +95,57 @@ class TestMdz:
             mdz_compress(np.zeros((4, 4), np.float32))
         with pytest.raises(ValueError):
             mdz_compress(np.zeros((4, 4), np.float32), abs_eb=1, rel_eb=1)
+
+
+class TestLammpsHooks:
+    """In-situ hooks mirroring the reference's LAMMPS_compress /
+    LAMMPS_select_compressor (tools/mdz/include/mdz.hpp:283-359)."""
+
+    def _traj(self, seed=0, steps=24, atoms=512):
+        rng = np.random.default_rng(seed)
+        sites = np.round(rng.uniform(-5, 5, atoms) * 4) / 4  # quantized sites
+        walk = np.cumsum(rng.standard_normal((steps, atoms)) * 0.005, axis=0)
+        return np.ascontiguousarray(sites[None, :] + walk, np.float32)
+
+    def test_explicit_methods_round_trip(self):
+        from sz3_tpu.mdz import lammps_compress, lammps_decompress
+        traj = self._traj()
+        eb = 1e-3
+        for method, level in [(2, (0.0, 0.0, 0)), (3, (0.0, 0.0, 0)),
+                              (4, (0.0, 0.0, 0))]:
+            blob = lammps_compress(traj, method, abs_eb=eb, level=level,
+                                   ts0=traj[0] if method == 2 else None)
+            out = lammps_decompress(blob, method, *traj.shape, abs_eb=eb,
+                                    level=level,
+                                    ts0=traj[0] if method == 2 else None)
+            assert np.abs(out - traj).max() <= eb * 1.0000001, method
+            assert len(blob) < traj.nbytes, method
+
+    def test_vq_with_level_grid(self):
+        from sz3_tpu.mdz import (lammps_compress, lammps_decompress,
+                                 lammps_select_compressor)
+        rng = np.random.default_rng(3)
+        # solid-state-like: atoms vibrate around a regular lattice
+        lattice = np.arange(512, dtype=np.float32) * 0.25
+        traj = lattice[None, :] + rng.standard_normal((24, 512)).astype(np.float32) * 0.01
+        level = (float(lattice.min()), 0.25, 512)
+        eb = 1e-3
+        for method in (0, 1):
+            blob = lammps_compress(traj, method, abs_eb=eb, level=level)
+            out = lammps_decompress(blob, method, *traj.shape, abs_eb=eb,
+                                    level=level)
+            assert np.abs(out - traj).max() <= eb * 1.0000001, method
+        m = lammps_select_compressor(traj, firsttime=True, abs_eb=eb,
+                                     level=level)
+        assert m in (0, 1, 2)
+
+    def test_select_without_levels_prefers_lr_or_mt(self):
+        from sz3_tpu.mdz import lammps_select_compressor
+        traj = self._traj(seed=7)
+        m = lammps_select_compressor(traj, firsttime=False, abs_eb=1e-3)
+        assert m in (2, 3)
+
+    def test_vq_without_levels_raises(self):
+        from sz3_tpu.mdz import lammps_compress
+        with pytest.raises(RuntimeError, match="VQ/VQT not available"):
+            lammps_compress(self._traj(), 0, level=(0.0, 0.0, 0))
