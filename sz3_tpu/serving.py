@@ -33,6 +33,47 @@ def _jit_encode_batch(dims, interp_algo, direction, anchor_stride, alpha, beta, 
     return plan, jax.jit(jax.vmap(run))
 
 
+@lru_cache(maxsize=8)
+def _jit_encode_batch_dynamic(dims, interp_algo, direction, anchor_stride, alpha,
+                              beta, mode_name, abs_v, rel_v, psnr_v,
+                              quantbin_cnt, dtype_name):
+    """Batched encode for range-dependent bound modes: each field's ABS bound
+    resolves on-device from its own min/max (the vmapped analog of
+    calAbsErrorBound, Statistic.hpp:31-56), traced into the level-eb
+    schedule. The quantizer keeps the reference arithmetic: range = T-typed
+    max-min (f32 subtraction) promoted to f64."""
+    import jax
+    import jax.numpy as jnp
+    from .config import EB
+    from .ops.interp_fast import build_fast_plan, encode_grid_fast
+
+    plan = build_fast_plan(dims, interp_algo=interp_algo, direction=direction,
+                           anchor_stride=anchor_stride, alpha=alpha, beta=beta,
+                           eb=1.0, quantbin_cnt=quantbin_cnt)
+    mode = EB[mode_name]
+
+    def one(x):
+        rng = (jnp.max(x) - jnp.min(x)).astype(jnp.float64)
+        if mode == EB.REL:
+            eb = rel_v * rng
+        elif mode == EB.PSNR:
+            import math
+            v1 = psnr_v + 10 * math.log10(1 - 2.0 / 3.0 * 0.99)
+            eb = rng * (10.0 ** (v1 / -20))
+        elif mode == EB.ABS_AND_REL:
+            eb = jnp.minimum(jnp.float64(abs_v), rel_v * rng)
+        elif mode == EB.ABS_OR_REL:
+            eb = jnp.maximum(jnp.float64(abs_v), rel_v * rng)
+        else:
+            raise ValueError(f"unsupported batched mode {mode}")
+        bins_list, b0, _ = encode_grid_fast(x, plan, eb=eb)
+        flat = jnp.concatenate([b.ravel() for b in bins_list]) if bins_list \
+            else jnp.zeros((0,), jnp.int32)
+        return flat, (b0 if b0 is not None else jnp.int32(0)), eb
+
+    return plan, jax.jit(jax.vmap(one))
+
+
 def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[bytes]:
     """Compress a [B, *dims] stack of same-shape fields.
 
@@ -57,9 +98,11 @@ def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[by
     if base.cmprAlgo == ALGO.INTERP_LORENZO:
         base.cmprAlgo = ALGO.INTERP  # batch path pins the device algorithm
     from .config import EB
-    if (base.cmprAlgo != ALGO.INTERP or base.errorBoundMode != EB.ABS
-            or base.absErrorBound <= 0):
-        # per-field bounds / other algorithms / lossless mode: single-field path
+    dynamic_modes = (EB.REL, EB.PSNR, EB.ABS_AND_REL, EB.ABS_OR_REL)
+    if (base.cmprAlgo != ALGO.INTERP
+            or (base.errorBoundMode == EB.ABS and base.absErrorBound <= 0)
+            or base.errorBoundMode not in (EB.ABS,) + dynamic_modes):
+        # other algorithms / lossless / L2NORM (size-dependent, host path)
         from . import compress
         return [compress(np.ascontiguousarray(f), base.copy(), backend="jax") for f in fields]
     if base.interpAnchorStride < 0:
@@ -67,13 +110,27 @@ def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[by
 
     dims = tuple(base.dims)
     stack = np.ascontiguousarray(fields.reshape((b,) + dims))
-    plan, run_b = _jit_encode_batch(dims, int(base.interpAlgo), base.interpDirection,
-                                    base.interpAnchorStride, base.interpAlpha, base.interpBeta,
-                                    base.absErrorBound, base.quantbinCnt, str(fields.dtype))
-    with _maybe_on(exec_device()):
-        flat_b, b0_b = run_b(jnp.asarray(stack))
-        flat_b = np.asarray(flat_b)
-        b0_b = np.asarray(b0_b)
+    ebs = None
+    if base.errorBoundMode == EB.ABS:
+        plan, run_b = _jit_encode_batch(dims, int(base.interpAlgo), base.interpDirection,
+                                        base.interpAnchorStride, base.interpAlpha, base.interpBeta,
+                                        base.absErrorBound, base.quantbinCnt, str(fields.dtype))
+        with _maybe_on(exec_device()):
+            flat_b, b0_b = run_b(jnp.asarray(stack))
+            flat_b = np.asarray(flat_b)
+            b0_b = np.asarray(b0_b)
+    else:
+        # per-field range-relative bounds resolve inside the device program
+        plan, run_b = _jit_encode_batch_dynamic(
+            dims, int(base.interpAlgo), base.interpDirection,
+            base.interpAnchorStride, base.interpAlpha, base.interpBeta,
+            base.errorBoundMode.name, base.absErrorBound, base.relErrorBound,
+            base.psnrErrorBound, base.quantbinCnt, str(fields.dtype))
+        with _maybe_on(exec_device()):
+            flat_b, b0_b, ebs_dev = run_b(jnp.asarray(stack))
+            flat_b = np.asarray(flat_b)
+            b0_b = np.asarray(b0_b)
+            ebs = np.asarray(ebs_dev)
 
     perm = _stream_perm(dims, int(base.interpAlgo), base.interpDirection,
                         base.interpAnchorStride)
@@ -84,6 +141,9 @@ def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[by
     cap = compress_size_bound(base, fields.dtype.itemsize)
     for i in range(b):
         c = base.copy()
+        if ebs is not None:
+            c.absErrorBound = float(ebs[i])
+            c.errorBoundMode = EB.ABS
         bins = _grid_from_flat(flat_b[i], plan, b0_b[i])
         stream = bins.ravel()[perm]
         unpred = np.ascontiguousarray(stack[i].ravel()[perm[stream == 0]])
