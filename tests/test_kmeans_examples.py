@@ -41,6 +41,6 @@ class TestExamples:
         repo = Path(__file__).resolve().parent.parent
         env = dict(os.environ, JAX_PLATFORMS="cpu")  # skip slow TPU-tunnel init
         r = subprocess.run([sys.executable, str(repo / "examples" / "customized_demo.py")],
-                           capture_output=True, text=True, timeout=600, env=env)
+                           capture_output=True, text=True, timeout=1200, env=env)
         assert r.returncode == 0, r.stderr
         assert "4. custom compressor" in r.stdout
