@@ -203,7 +203,9 @@ def main():
     dev = bench_device(data)
     if dev is not None:
         denc, ddec = dev
-        log(f"TPU device pipeline (amortized over 10 chained iters): "
+        log(f"TPU device pipeline (amortized over 10 chained iters, "
+            f"exact-f64 parity mode; SZT_EXACT_F64=0 fast mode reaches "
+            f"16-22 GB/s/chip, see BASELINE.md): "
             f"encode {denc*1e3:.2f} ms -> {nbytes/denc/1e9:.2f} GB/s/chip, "
             f"decode {ddec*1e3:.2f} ms -> {nbytes/ddec/1e9:.2f} GB/s/chip")
 
