@@ -282,20 +282,27 @@ def _apply_pass(xp, arr, pl: PassLayout, nb: Tuple[int, ...], fill):
             dd_w = N - 1  # dd within-axis now last
         else:
             dd_w = pl.dd
-        vA = _within_flatten(xp, t, N, dd_w, [np.concatenate(pl.interior_phases)], fill) \
+        phases_a = [np.concatenate(pl.interior_phases)] \
             if pl.interior_phases is not None else None
-        vB = _within_flatten(xp, t, N, dd_w, [np.concatenate(pl.last_phases)], fill)
+        phases_b = [np.concatenate(pl.last_phases)]
     else:
-        vA = _within_flatten(xp, t, N, pl.dd, pl.interior_phases, fill) \
-            if pl.interior_phases is not None else None
-        vB = _within_flatten(xp, t, N, pl.dd, pl.last_phases, fill)
-    if vA is None:
-        v = vB
+        dd_w = pl.dd
+        phases_a = pl.interior_phases
+        phases_b = pl.last_phases
+    if phases_a is None:
+        v = _within_flatten(xp, t, N, dd_w, phases_b, fill)
     else:
-        # last block along dd uses the last-class order
-        idx = xp.arange(nb[pl.dd]).reshape(
-            (1,) * pl.dd + (-1,) + (1,) * (len(nb) - pl.dd - 1) + (1,))
-        v = xp.where(idx == nb[pl.dd] - 1, vB, vA)
+        # only the LAST block along dd uses the last-class column order:
+        # reorder it on its own slice and concatenate (materializing the full
+        # last-class variant + a select doubled the relayout traffic)
+        nb_axis = pl.dd
+        sl_a = [slice(None)] * t.ndim
+        sl_a[nb_axis] = slice(0, nb[pl.dd] - 1)
+        sl_b = [slice(None)] * t.ndim
+        sl_b[nb_axis] = slice(nb[pl.dd] - 1, nb[pl.dd])
+        vA = _within_flatten(xp, t[tuple(sl_a)], N, dd_w, phases_a, fill)
+        vB = _within_flatten(xp, t[tuple(sl_b)], N, dd_w, phases_b, fill)
+        v = xp.concatenate([vA, vB], axis=nb_axis)
     return v.reshape(-1, pl.s_block)
 
 
