@@ -145,6 +145,33 @@ def bench_device(data: np.ndarray):
         ts.append(time.time() - t)
     enc_t = min(ts) / K
 
+    # fast mode (float-float f64): same pipeline, parity not guaranteed on TPU
+    prev_exact = os.environ.get("SZT_EXACT_F64")
+    os.environ["SZT_EXACT_F64"] = "0"
+    try:
+        @jax.jit
+        def run_k_fast(x):
+            def body(i, acc):
+                bins, b0, recon = encode_grid_fast(x + acc * 1e-20, plan)
+                s = sum(jnp.sum(b.astype(jnp.int32)) for b in bins).astype(jnp.float32)
+                return acc + s + jnp.sum(recon)
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+        float(np.asarray(run_k_fast(xj)))
+        ts = []
+        for _ in range(REPS):
+            t = time.time()
+            float(np.asarray(run_k_fast(xj)))
+            ts.append(time.time() - t)
+        enc_fast = min(ts) / K
+        log(f"TPU device pipeline, fast mode (SZT_EXACT_F64=0): encode "
+            f"{enc_fast*1e3:.2f} ms -> {data.nbytes/enc_fast/1e9:.2f} GB/s/chip")
+    finally:
+        if prev_exact is None:
+            os.environ.pop("SZT_EXACT_F64", None)
+        else:
+            os.environ["SZT_EXACT_F64"] = prev_exact
+
     # decode side: real bins from the encode, zero literal slices
     from sz3_tpu.ops.interp_fast import decode_grid_fast
 

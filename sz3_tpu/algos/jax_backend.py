@@ -86,6 +86,31 @@ def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
         beta=conf.interpBeta, eb=conf.absErrorBound, quantbin_cnt=conf.quantbinCnt)
 
 
+def _device_blockwise_mode() -> str:
+    """SZT_DEVICE_BLOCKWISE: 0 (default — host engine; the device sweep is
+    the correctness-first lax.scan formulation, see ops/blockwise_device.py),
+    1 (force the device path for ALGO_LORENZO_REG)."""
+    import os
+    return os.environ.get("SZT_DEVICE_BLOCKWISE", "0")
+
+
+def _blockwise_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
+    from ..ops.blockwise_device import encode_blocks
+    data = data.reshape(conf.dims)
+    bins, sel, regb, qlu, qiu, unp = encode_blocks(
+        data, conf.absErrorBound, conf.quantbinCnt // 2,
+        conf.lorenzo, conf.lorenzo2, conf.regression)
+    return runtime.blockwise_seal(conf, bins, sel, regb, qlu, qiu, unp, cap)
+
+
+def _blockwise_decode_payload(conf: Config, payload: bytes) -> np.ndarray:
+    from ..ops.blockwise_device import decode_blocks
+    bins, sel, regb, qlu, qiu, unp = runtime.blockwise_open(conf, payload)
+    return decode_blocks(conf.dims, conf.absErrorBound, conf.quantbinCnt // 2,
+                         conf.lorenzo, conf.lorenzo2, conf.regression,
+                         bins, sel, regb, qlu, qiu, unp)
+
+
 def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
                          nthreads: int = 0) -> bytes:
     """JAX-path equivalent of the native dispatcher."""
@@ -104,6 +129,15 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
     if conf.cmprAlgo == ALGO.INTERP:
         try:
             payload = _interp_encode_payload(conf, data, cap)  # read-only path
+        except RuntimeError as e:
+            if "buffer too small" not in str(e):
+                raise
+            conf.cmprAlgo = ALGO.LOSSLESS
+            return runtime.zstd_compress(data.tobytes())
+    elif (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
+          and data.dtype == np.float32 and len(conf.dims) == 3):
+        try:
+            payload = _blockwise_encode_payload(conf, data, cap)
         except RuntimeError as e:
             if "buffer too small" not in str(e):
                 raise
@@ -131,5 +165,8 @@ def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarr
         return np.frombuffer(raw, dtype=dt).reshape(conf.dims).copy()
     if conf.cmprAlgo == ALGO.INTERP:
         return _interp_decode_payload(conf, payload, dt).reshape(conf.dims)
+    if (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
+            and dt == np.float32 and len(conf.dims) == 3):
+        return _blockwise_decode_payload(conf, payload).reshape(conf.dims)
     return runtime.decompress_payload(conf, payload,
                                       dtype=runtime.np_dtype_id(np.empty(0, dtype=dt)))

@@ -165,6 +165,33 @@ class BlockwiseCodec {
         grid.finish();
     }
 
+    // Device-path seal support: adopt externally computed side streams
+    // (selection, coefficient bins + coef-quantizer literals, element
+    // literals) so save() serializes a device-encoded block sweep.
+    void adopt_streams(std::vector<int32_t> sel, std::vector<int32_t> regb,
+                       std::vector<T> ql_unpred, std::vector<T> qi_unpred,
+                       std::vector<T> unpred) {
+        configure();
+        selection_ = std::move(sel);
+        reg_bins_ = std::move(regb);
+        reg_ql_.unpred = std::move(ql_unpred);
+        reg_qi_.unpred = std::move(qi_unpred);
+        quant.unpred = std::move(unpred);
+    }
+
+    // Device-path open support: expose the loaded side streams so the
+    // device sweep can replay the block recurrence (inverse of
+    // adopt_streams; call after load()).
+    void export_streams(std::vector<int32_t>& sel, std::vector<int32_t>& regb,
+                        std::vector<T>& ql_unpred, std::vector<T>& qi_unpred,
+                        std::vector<T>& unpred) const {
+        sel = selection_;
+        regb = reg_bins_;
+        ql_unpred = reg_ql_.unpred;
+        qi_unpred = reg_qi_.unpred;
+        unpred = quant.unpred;
+    }
+
     // [fallback(nothing)][roster predictors][selection?][quantizer]
     // (reference BlockwiseDecomposition.hpp:69-73)
     void save(Sink& s) {

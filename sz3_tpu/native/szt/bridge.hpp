@@ -115,6 +115,39 @@ std::vector<uint8_t> interp_seal_packed(Conf& conf, const uint8_t* tree, size_t 
     return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
 }
 
+// device-computed blockwise streams -> full payload (byte-identical to
+// compress_lorenzo_reg's seal of the same sweep)
+template <class T, int N>
+std::vector<uint8_t> blockwise_seal(Conf& conf, const int32_t* bins, size_t n,
+                                    const int32_t* sel, size_t nsel, const int32_t* regb,
+                                    size_t nregb, const T* qlu, size_t nqlu, const T* qiu,
+                                    size_t nqiu, const T* unpred, size_t nun, size_t cap) {
+    auto codec = make_blockwise<T, N>(conf);
+    codec.adopt_streams(std::vector<int32_t>(sel, sel + nsel),
+                        std::vector<int32_t>(regb, regb + nregb),
+                        std::vector<T>(qlu, qlu + nqlu), std::vector<T>(qiu, qiu + nqiu),
+                        std::vector<T>(unpred, unpred + nun));
+    std::vector<int32_t> bv(bins, bins + n);
+    return seal_payload<T>(codec, bv, cap);
+}
+
+// blockwise payload bytes -> all archive streams (bins in block-sweep
+// order, selection, coefficient bins + coef-quantizer literals, element
+// literals) + effective params written into conf (absErrorBound = archived
+// eb, quantbinCnt = 2*radius) — everything the device sweep needs to replay
+// the block recurrence.
+template <class T, int N>
+void blockwise_open(Conf& conf, const uint8_t* payload, size_t len,
+                    std::vector<int32_t>& bins, std::vector<int32_t>& sel,
+                    std::vector<int32_t>& regb, std::vector<T>& qlu,
+                    std::vector<T>& qiu, std::vector<T>& unpred) {
+    auto codec = make_blockwise<T, N>(conf);
+    open_payload(codec, payload, len, bins);
+    codec.export_streams(sel, regb, qlu, qiu, unpred);
+    conf.absErrorBound = codec.quant.eb();
+    conf.quantbinCnt = codec.quant.radius() * 2;
+}
+
 // payload bytes -> stream + literals + effective params (written into conf:
 // interp fields, absErrorBound = archived eb, quantbinCnt = 2*radius)
 template <class T, int N>

@@ -694,6 +694,72 @@ int szt_interp_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len
     }
 }
 
+// ---- device blockwise (ALGO_LORENZO_REG) seal --------------------------------
+
+int szt_blockwise_seal(SztConf* conf, const int32_t* bins, uint64_t n, const int32_t* sel,
+                       uint64_t nsel, const int32_t* regb, uint64_t nregb, const float* qlu,
+                       uint64_t nqlu, const float* qiu, uint64_t nqiu, const float* unpred,
+                       uint64_t nun, uint64_t cap, uint8_t** out, uint64_t* out_len, char* err,
+                       uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        switch (k.N()) {
+            case 1: payload = blockwise_seal<float, 1>(k, bins, n, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            case 2: payload = blockwise_seal<float, 2>(k, bins, n, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            case 3: payload = blockwise_seal<float, 3>(k, bins, n, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            case 4: payload = blockwise_seal<float, 4>(k, bins, n, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// blockwise payload -> all archive streams. bins fills the caller buffer
+// (conf.num entries); the five side streams come back malloc'd with counts.
+// Effective params (eb, quantbinCnt) written back into conf.
+int szt_blockwise_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t* bins,
+                       int32_t** sel, uint64_t* nsel, int32_t** regb, uint64_t* nregb,
+                       float** qlu, uint64_t* nqlu, float** qiu, uint64_t* nqiu, float** unpred,
+                       uint64_t* nun, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<int32_t> bv, sv, rv;
+        std::vector<float> qlv, qiv, uv;
+        switch (k.N()) {
+            case 1: blockwise_open<float, 1>(k, payload, len, bv, sv, rv, qlv, qiv, uv); break;
+            case 2: blockwise_open<float, 2>(k, payload, len, bv, sv, rv, qlv, qiv, uv); break;
+            case 3: blockwise_open<float, 3>(k, payload, len, bv, sv, rv, qlv, qiv, uv); break;
+            case 4: blockwise_open<float, 4>(k, payload, len, bv, sv, rv, qlv, qiv, uv); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
+        *sel = static_cast<int32_t*>(std::malloc(std::max<size_t>(1, sv.size() * 4)));
+        std::memcpy(*sel, sv.data(), sv.size() * 4);
+        *nsel = sv.size();
+        *regb = static_cast<int32_t*>(std::malloc(std::max<size_t>(1, rv.size() * 4)));
+        std::memcpy(*regb, rv.data(), rv.size() * 4);
+        *nregb = rv.size();
+        *qlu = static_cast<float*>(std::malloc(std::max<size_t>(1, qlv.size() * 4)));
+        std::memcpy(*qlu, qlv.data(), qlv.size() * 4);
+        *nqlu = qlv.size();
+        *qiu = static_cast<float*>(std::malloc(std::max<size_t>(1, qiv.size() * 4)));
+        std::memcpy(*qiu, qiv.data(), qiv.size() * 4);
+        *nqiu = qiv.size();
+        *unpred = static_cast<float*>(std::malloc(std::max<size_t>(1, uv.size() * 4)));
+        std::memcpy(*unpred, uv.data(), uv.size() * 4);
+        *nun = uv.size();
+        from_conf(k, conf);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- MDZ LAMMPS in-situ hooks (reference tools/mdz/include/mdz.hpp:283-359) --
 
 int szt_lammps_compress(uint64_t frames, uint64_t atoms, double abs_eb, int32_t quantbin,

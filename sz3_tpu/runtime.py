@@ -118,6 +118,11 @@ def lib() -> C.CDLL:
         l.szt_huff_table.restype = C.c_int
         l.szt_huff_table.argtypes = [C.c_int64, C.c_void_p, u64, C.c_void_p, C.c_void_p,
                                      C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
+        l.szt_blockwise_seal.restype = C.c_int
+        l.szt_blockwise_seal.argtypes = [C.POINTER(SztConfC), C.c_void_p, u64, C.c_void_p, u64,
+                                         C.c_void_p, u64, C.c_void_p, u64, C.c_void_p, u64,
+                                         C.c_void_p, u64, u64, C.POINTER(u8p), C.POINTER(u64),
+                                         C.c_char_p, u64]
         l.szt_interp_seal_packed.restype = C.c_int
         l.szt_interp_seal_packed.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p,
                                              u64, u64, C.c_void_p, u64, u64, C.POINTER(u8p),
@@ -406,6 +411,63 @@ def interp_seal_packed(conf: Config, tree: bytes, bits: bytes, bit_count: int,
         raise RuntimeError(f"szt_interp_seal_packed: {err.value.decode()}")
     conf_from_c(c, conf)
     return _take(out, out_len)
+
+
+def blockwise_seal(conf: Config, bins: np.ndarray, selection: np.ndarray,
+                   reg_bins: np.ndarray, ql_unpred: np.ndarray,
+                   qi_unpred: np.ndarray, unpred: np.ndarray, cap: int) -> bytes:
+    """Device-computed blockwise streams -> LORENZO_REG payload (identical to
+    the host sweep's seal)."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    arrs = [np.ascontiguousarray(bins, np.int32),
+            np.ascontiguousarray(selection, np.int32),
+            np.ascontiguousarray(reg_bins, np.int32),
+            np.ascontiguousarray(ql_unpred, np.float32),
+            np.ascontiguousarray(qi_unpred, np.float32),
+            np.ascontiguousarray(unpred, np.float32)]
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_blockwise_seal(
+        C.byref(c),
+        arrs[0].ctypes.data_as(C.c_void_p), C.c_uint64(arrs[0].size),
+        arrs[1].ctypes.data_as(C.c_void_p), C.c_uint64(arrs[1].size),
+        arrs[2].ctypes.data_as(C.c_void_p), C.c_uint64(arrs[2].size),
+        arrs[3].ctypes.data_as(C.c_void_p), C.c_uint64(arrs[3].size),
+        arrs[4].ctypes.data_as(C.c_void_p), C.c_uint64(arrs[4].size),
+        arrs[5].ctypes.data_as(C.c_void_p), C.c_uint64(arrs[5].size),
+        C.c_uint64(cap), C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_blockwise_seal: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
+
+
+def blockwise_open(conf: Config, payload: bytes):
+    """LORENZO_REG payload -> device-sweep streams
+    (bins block-sweep order, selection, reg_bins, ql_unpred, qi_unpred,
+    unpred). Mutates conf with the archived eb/quantbinCnt."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    bins = np.empty(conf.num, dtype=np.int32)
+    outs = [C.POINTER(t)() for t in
+            (C.c_int32, C.c_int32, C.c_float, C.c_float, C.c_float)]
+    ns = [C.c_uint64() for _ in range(5)]
+    err = C.create_string_buffer(_ERRCAP)
+    args = [C.byref(c), payload, C.c_uint64(len(payload)),
+            bins.ctypes.data_as(C.c_void_p)]
+    for o, n in zip(outs, ns):
+        args += [C.byref(o), C.byref(n)]
+    rc = lib().szt_blockwise_open(*args, err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_blockwise_open: {err.value.decode()}")
+    res = []
+    for o, n, dt in zip(outs, ns, (np.int32, np.int32, np.float32,
+                                   np.float32, np.float32)):
+        arr = np.ctypeslib.as_array(o, shape=(n.value,)).astype(dt, copy=True)
+        lib().szt_free(C.cast(o, C.c_void_p))
+        res.append(arr)
+    conf_from_c(c, conf)
+    return (bins, *res)
 
 
 def interp_order(conf: Config) -> np.ndarray:
