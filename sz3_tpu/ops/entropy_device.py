@@ -12,7 +12,8 @@ concatenation of per-symbol codes) without the bins ever leaving the device:
          on TPU, this is ~2ms) + bit packing:
          kernel 1: per 8192-element chunk, pack 128 rows of 64 codes by a
                    64-step vectorized scan, then concatenate the rows with a
-                   7-level binary merge tree (rows pre-shuffled to
+                   6-level binary merge tree, emitting 2 splice segments per
+                   chunk (rows pre-shuffled to
                    bit-reversed lanes so half-pairing yields natural order;
                    variable shifts decompose into static rolls + selects —
                    no gathers, no scatters, no lane-dynamic addressing)
@@ -335,11 +336,12 @@ def _pack_kernel(wlo_ref, c0_ref, bins_ref, tc_ref, tl_ref,
     rowbuf = jnp.where(iota_w == ptr, buf, rowbuf)
     bits = ptr * 32 + cnt                                 # (1,128) row bit lengths
 
-    # 7-level binary merge; lanes are bit-reversed rows so half-pairing
-    # concatenates in natural order. The lane dim stays 128 wide throughout
-    # (Mosaic chokes on sub-128 lane pads/concats): the merge partner is
-    # fetched by a lane roll, results are valid in lanes [0, 128 >> (lev+1))
-    # and garbage elsewhere; only lane 0 of the final frame is read.
+    # MERGE_LEVELS(=6)-level binary merge leaving SEGS_PER_CHUNK(=2) splice
+    # segments; lanes are bit-reversed rows so half-pairing concatenates in
+    # natural order. The lane dim stays 128 wide throughout (Mosaic chokes on
+    # sub-128 lane pads/concats): the merge partner is fetched by a lane
+    # roll, results are valid in lanes [0, 128 >> (lev+1)) and garbage
+    # elsewhere; only the segment lanes of the final frame are read.
     frame, blen = rowbuf, bits
     for lev in range(MERGE_LEVELS):
         half = 128 >> (lev + 1)

@@ -62,9 +62,12 @@ def _flog2_i64(v):
     f = word.astype(jnp.float32)
     fb = jax.lax.bitcast_convert_type(f, jnp.int32)
     e = ((fb >> I32(23)) & I32(255)) - I32(127)
-    # if 2^e > word the conversion rounded up across a power of two
-    too_big = (e > 0) & ((jnp.uint32(1) << jnp.clip(e, 0, 31).astype(jnp.uint32))
-                         > word) & (e < 32)
+    # if 2^e > word the conversion rounded up across a power of two; e >= 32
+    # always means rounded up, since word < 2^32 by construction (values in
+    # [2^32-128, 2^32) convert to the f32 2^32 -> e == 32)
+    too_big = (e > 0) & (
+        (e >= 32)
+        | ((jnp.uint32(1) << jnp.clip(e, 0, 31).astype(jnp.uint32)) > word))
     e = jnp.where(too_big, e - 1, e)
     return jnp.where(use_hi, e + I32(32), e)
 

@@ -318,6 +318,11 @@ def sharded_decode_payload(conf, payload: bytes, mesh: Mesh, dtype) -> np.ndarra
         c = confs[t]
         c.openmp = False
         blob = payload[offsets[t]:offsets[t] + sizes[t]]
+        if c.cmprAlgo not in (ALGO.LOSSLESS, ALGO.INTERP):
+            raise ValueError(
+                f"unsupported chunk algorithm {c.cmprAlgo!r} for mesh decode "
+                "(chunked archives with non-INTERP per-chunk streams must go "
+                "through the host engine)")
         if c.cmprAlgo == ALGO.LOSSLESS:
             raw = runtime.zstd_decompress(blob)
             lo, hi = bounds[t]
@@ -351,8 +356,6 @@ def sharded_decode_payload(conf, payload: bytes, mesh: Mesh, dtype) -> np.ndarra
             c0.absErrorBound, c0.quantbinCnt, str(np.dtype(dtype)))
 
         def flat_inputs(t):
-            if t is None:
-                nothing = np.zeros(0, np.int32)
             c, bg, lit = placed[t]
             bins_flat = np.concatenate(
                 [b.ravel() for b in grid_to_pass_slices(bg, plan)]) \

@@ -123,6 +123,14 @@ def lib() -> C.CDLL:
                                          C.c_void_p, u64, C.c_void_p, u64, C.c_void_p, u64,
                                          C.c_void_p, u64, u64, C.POINTER(u8p), C.POINTER(u64),
                                          C.c_char_p, u64]
+        i32pp = C.POINTER(C.POINTER(C.c_int32))
+        f32pp = C.POINTER(C.POINTER(C.c_float))
+        l.szt_blockwise_open.restype = C.c_int
+        l.szt_blockwise_open.argtypes = [
+            C.POINTER(SztConfC), C.c_char_p, u64, C.c_void_p,
+            i32pp, C.POINTER(u64), i32pp, C.POINTER(u64),
+            f32pp, C.POINTER(u64), f32pp, C.POINTER(u64),
+            f32pp, C.POINTER(u64), C.c_char_p, u64]
         l.szt_interp_seal_packed.restype = C.c_int
         l.szt_interp_seal_packed.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p,
                                              u64, u64, C.c_void_p, u64, u64, C.POINTER(u8p),

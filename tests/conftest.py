@@ -25,6 +25,17 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# Some TPU runtime plugins (axon) ignore JAX_PLATFORMS entirely: the default
+# backend stays the tunneled TPU and every EAGER op becomes a ~30ms-1s RPC,
+# turning pure-python tests into multi-minute hangs. Pin the process-wide
+# default device to the host CPU (test_tpu_parity, which wants the real chip,
+# resets this in its own fixture). jit'd codec paths already honor
+# SZT_JAX_DEVICE=cpu themselves via exec_device().
+if os.environ.get("SZT_JAX_DEVICE") == "cpu":
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 GOLDEN = Path(__file__).resolve().parent / "golden"
 
 

@@ -138,6 +138,48 @@ def test_zero_diff_and_tiny_eb():
     _check(data, data.copy(), 1e-12)
 
 
+def test_flog2_near_2pow32():
+    """Regression: words in [2^32-128, 2^32) convert to the f32 2^32 (e=32);
+    the round-up guard must also fire for e >= 32 or _flog2_i64 returns 32
+    instead of 31, denormalizing _norm53 downstream."""
+    from sz3_tpu.ops.exactf64 import _flog2_i64
+    vals = [2**32 - 128, 2**32 - 64, 2**32 - 8, 2**32 - 1, 2**32,
+            2**32 + 1, 2**31 - 1, 2**31, 2**33 - 1, 1, 2, 3, 2**52 - 1]
+    got = np.asarray(_flog2_i64(jnp.asarray(np.array(vals, np.int64))))
+    want = np.array([v.bit_length() - 1 for v in vals], np.int32)
+    assert np.array_equal(got, want), (got, want)
+
+
+def test_add_signed_deep_cancellation():
+    """Regression (ADVICE r2): subtraction leaving a mantissa difference in
+    [2^32-128, 2^32) after the <<3 guard hit the _flog2_i64 e==32 bug and
+    produced a grossly wrong normalization."""
+    from sz3_tpu.ops.exactf64 import _add_signed, _narrow_f32
+    # (MA - MB) << 3 lands in [2^32-128, 2^32): MA - MB in [2^29-16, 2^29)
+    xs = [2**29 - 16, 2**29 - 15, 2**29 - 9, 2**29 - 8, 2**29 - 1,
+          2**29, 2**29 - 17]  # last two: outside the bug window (control)
+    n = len(xs)
+    MA = np.array([2**52 + x for x in xs], np.int64)
+    MB = np.full(n, 2**52, np.int64)
+    E = np.zeros(n, np.int32)
+    neg, M, Eo = _add_signed(
+        jnp.zeros(n, bool), jnp.asarray(MA), jnp.asarray(E),
+        jnp.ones(n, bool), jnp.asarray(MB), jnp.asarray(E))
+    M = np.asarray(M)
+    Eo = np.asarray(Eo)
+    assert not np.asarray(neg).any()
+    for i, x in enumerate(xs):
+        # exact difference x * 2^0, normalized to [2^52, 2^53)
+        lg = x.bit_length() - 1
+        assert int(M[i]) == x << (52 - lg), (i, x, int(M[i]))
+        assert int(Eo[i]) == lg - 52  # value = M * 2^E == x
+        assert int(M[i]) << 11 >> 11 == int(M[i])  # still 53-bit
+    f = np.asarray(_narrow_f32(np.asarray(neg), jnp.asarray(M),
+                               jnp.asarray(Eo)))
+    want = np.array(xs, np.float64).astype(np.float32)
+    assert np.array_equal(f, want)
+
+
 def test_linear1_matches_f64():
     rng = np.random.default_rng(5)
     for n in range(4):

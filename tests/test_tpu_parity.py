@@ -36,6 +36,14 @@ def _unpin(monkeypatch):
     monkeypatch.delenv("SZT_JAX_DEVICE", raising=False)
     monkeypatch.delenv("SZT_EXACT_F64", raising=False)
     monkeypatch.delenv("SZT_DEVICE_ENTROPY", raising=False)
+    # conftest pins the process default device to host CPU (axon ignores
+    # JAX_PLATFORMS); this test wants the real chip back
+    import jax
+
+    prev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", None)
+    yield
+    jax.config.update("jax_default_device", prev)
 
 
 def _conf_from_args(shape, args):
