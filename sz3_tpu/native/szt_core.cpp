@@ -694,6 +694,55 @@ int szt_interp_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len
     }
 }
 
+// ---- device NOPRED seal/open -------------------------------------------------
+
+int szt_nopred_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len,
+                           const uint8_t* bits, uint64_t bit_count, uint64_t count,
+                           const void* unpred, uint64_t unpred_n, uint64_t cap, uint8_t** out,
+                           uint64_t* out_len, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        auto seal = [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            payload = nopred_seal_packed<T>(k, tree, tree_len, bits, bit_count, count,
+                                            static_cast<const T*>(unpred), unpred_n, cap);
+        };
+        if (conf->engineType == 0) seal(static_cast<float*>(nullptr));
+        else if (conf->engineType == 1) seal(static_cast<double*>(nullptr));
+        else throw std::runtime_error("unsupported dtype for device path");
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_nopred_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t* bins,
+                    uint8_t** unpred_out, uint64_t* unpred_bytes, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<int32_t> bv;
+        auto open = [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            std::vector<T> up;
+            nopred_open<T>(k, payload, len, bv, up);
+            std::vector<uint8_t> raw(reinterpret_cast<uint8_t*>(up.data()),
+                                     reinterpret_cast<uint8_t*>(up.data() + up.size()));
+            *unpred_out = to_malloc(raw, unpred_bytes);
+        };
+        if (conf->engineType == 0) open(static_cast<float*>(nullptr));
+        else if (conf->engineType == 1) open(static_cast<double*>(nullptr));
+        else throw std::runtime_error("unsupported dtype for device path");
+        std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
+        from_conf(k, conf);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- device blockwise (ALGO_LORENZO_REG) seal --------------------------------
 
 int szt_blockwise_seal(SztConf* conf, const int32_t* bins, uint64_t n, const int32_t* sel,

@@ -61,11 +61,17 @@ SPLICE_REG = (FRAME_SUB + 1 + 7) // 8 * 8   # DMA region rows (8-aligned: the
                                             # TPU faults on non-multiple-of-8
                                             # sublane counts in dynamic DMAs)
 
-W_HALF = 4096                       # symbol window half-width around radius
+W_HALF = 8190                       # symbol window half-width around radius:
+                                    # the largest that fits the 128x128 radix
+                                    # histogram (N_IDX + trash <= 16384). For
+                                    # quantbinCnt <= 16380 (radius <= 8190,
+                                    # incl. the tuner's 16384 retune) EVERY
+                                    # legal bin is in-window; only the default
+                                    # 65536-bin config can overflow to TRASH
 N_IDX = 2 + 2 * W_HALF              # 0 -> symbol 0, 1 -> sentinel, 2.. window
 IDX_SPACE = 128 * 128               # two-level radix-128 histogram space
 TRASH = N_IDX                       # out-of-window bucket (host gate)
-TBL_ROWS = (N_IDX + 1 + 127) // 128  # 65 vreg rows of lookup table
+TBL_ROWS = (N_IDX + 1 + 127) // 128  # 129 vreg rows of lookup table
 
 SENTINEL = -1
 

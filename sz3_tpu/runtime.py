@@ -123,6 +123,15 @@ def lib() -> C.CDLL:
                                          C.c_void_p, u64, C.c_void_p, u64, C.c_void_p, u64,
                                          C.c_void_p, u64, u64, C.POINTER(u8p), C.POINTER(u64),
                                          C.c_char_p, u64]
+        l.szt_nopred_seal_packed.restype = C.c_int
+        l.szt_nopred_seal_packed.argtypes = [
+            C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p, u64, u64,
+            C.c_void_p, u64, u64, C.POINTER(u8p), C.POINTER(u64),
+            C.c_char_p, u64]
+        l.szt_nopred_open.restype = C.c_int
+        l.szt_nopred_open.argtypes = [
+            C.POINTER(SztConfC), C.c_char_p, u64, C.c_void_p,
+            C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
         i32pp = C.POINTER(C.POINTER(C.c_int32))
         f32pp = C.POINTER(C.POINTER(C.c_float))
         l.szt_blockwise_open.restype = C.c_int
@@ -419,6 +428,46 @@ def interp_seal_packed(conf: Config, tree: bytes, bits: bytes, bit_count: int,
         raise RuntimeError(f"szt_interp_seal_packed: {err.value.decode()}")
     conf_from_c(c, conf)
     return _take(out, out_len)
+
+
+def nopred_seal_packed(conf: Config, tree: bytes, bits: bytes, bit_count: int,
+                       count: int, unpred: np.ndarray, cap: int) -> bytes:
+    """Device-packed pieces -> NOPRED payload (byte-identical to the host
+    engine's compress_nopred seal of the same bins)."""
+    dt = np_dtype_id(unpred)
+    c = conf_to_c(conf, engine_dtype=dt)
+    unpred = np.ascontiguousarray(unpred)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_nopred_seal_packed(C.byref(c), tree, C.c_uint64(len(tree)),
+                                      bits, C.c_uint64(bit_count), C.c_uint64(count),
+                                      unpred.ctypes.data_as(C.c_void_p),
+                                      C.c_uint64(unpred.size), C.c_uint64(cap),
+                                      C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_nopred_seal_packed: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
+
+
+def nopred_open(conf: Config, payload: bytes, dtype):
+    """NOPRED payload -> (element-order bins, unpred literals); conf updated
+    with the archived quantizer params."""
+    dt = np_dtype_id(np.empty(0, dtype=dtype))
+    c = conf_to_c(conf, engine_dtype=dt)
+    bins = np.empty(conf.num, dtype=np.int32)
+    out = C.POINTER(C.c_uint8)()
+    nbytes = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_nopred_open(C.byref(c), payload, C.c_uint64(len(payload)),
+                               bins.ctypes.data_as(C.c_void_p),
+                               C.byref(out), C.byref(nbytes), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_nopred_open: {err.value.decode()}")
+    unpred = np.frombuffer(_take(out, nbytes), dtype=dtype)
+    conf_from_c(c, conf)
+    return bins, unpred
 
 
 def blockwise_seal(conf: Config, bins: np.ndarray, selection: np.ndarray,

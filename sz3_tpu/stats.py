@@ -18,6 +18,14 @@ def data_range(data: np.ndarray) -> float:
     return float(data.max() - data.min())
 
 
+def device_fallbacks() -> dict:
+    """Counters of device->host fallbacks by reason (observability for the
+    `backend="jax"` encode paths; reset with .clear())."""
+    from .algos.device_encode import fallback_counts
+
+    return fallback_counts
+
+
 def cal_abs_error_bound(conf: Config, data: np.ndarray, value_range: float = 0.0) -> None:
     """Convert any error-bound mode to ABS in place (Statistic.hpp:31-56)."""
     if conf.errorBoundMode == EB.ABS:

@@ -37,6 +37,12 @@ pytestmark = pytest.mark.skipif(not _has_tpu(), reason="needs a TPU "
 def _unpin_device(monkeypatch):
     """Run on the real TPU even under the suite's CPU parity pin."""
     monkeypatch.delenv("SZT_JAX_DEVICE", raising=False)
+    import jax
+
+    prev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", None)
+    yield
+    jax.config.update("jax_default_device", prev)
 
 
 def _field(dims, seed=3):
