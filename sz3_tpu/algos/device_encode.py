@@ -99,7 +99,7 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
                                                 cap_rows)
         return bins_stream, hist, lits, nlit
 
-    out_sub = mp // 128 + ed.SEG_REG + 8
+    out_sub = mp // 128 + 256
 
     @jax.jit
     def jit_b(bins_stream, tc, tl, c0):
@@ -234,7 +234,7 @@ def _static_nopred(num, eb, quantbin_cnt, dtype_name):
                                                 cap_rows)
         return bins_stream, hist, lits, nlit
 
-    out_sub = mp // 128 + ed.SEG_REG + 8
+    out_sub = mp // 128 + 256
 
     @jax.jit
     def jit_b(bins_stream, tc, tl, c0):

@@ -166,6 +166,72 @@ void interp_open(Conf& conf, const uint8_t* payload, size_t len, std::vector<int
     conf.quantbinCnt = codec.quant.radius() * 2;
 }
 
+// INTERP payload opened WITHOUT entropy-decoding: the raw Huffman bitstream
+// plus the exported code table come back so the device decode kernels can do
+// the bit-walk on-chip (counterpart of interp_seal_packed; layout per
+// SZGenericCompressor.hpp:65-84 with the decode step deferred).
+// const_sym: -1, or the constant symbol when the tree is a single leaf
+// (HuffmanEncoder.hpp:233-237) — the bitstream is then empty.
+template <class T, int N>
+void interp_open_packed(Conf& conf, const uint8_t* payload, size_t len,
+                        std::vector<uint8_t>& bits, uint64_t& count, int64_t& offset,
+                        std::vector<uint32_t>& codes, std::vector<uint8_t>& lens,
+                        int64_t& const_sym, std::vector<T>& unpred) {
+    InterpCodec<T, N> codec;
+    for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+    auto raw = zstd_unpack(payload, len);
+    Source src(raw.data(), raw.size());
+    codec.load(src);
+    Huffman<int32_t> huff;
+    huff.load(src);
+    count = src.template get<size_t>();
+    size_t nbytes = src.template get<size_t>();
+    bits.assign(src.cursor(), src.cursor() + nbytes);
+    offset = int64_t(huff.offset());
+    const_sym = -1;
+    if (huff.constant_stream()) {
+        const_sym = int64_t(huff.constant_symbol());
+    } else if (!huff.export_loaded_codes(codes, lens)) {
+        throw std::runtime_error("huffman codes exceed 32 bits");
+    }
+    unpred = codec.quant.unpred;
+    conf.interpAlgo = uint8_t(codec.interp_id);
+    conf.interpDirection = codec.direction;
+    conf.interpAnchorStride = int64_t(codec.anchor_stride);
+    conf.interpAlpha = codec.alpha;
+    conf.interpBeta = codec.beta;
+    conf.absErrorBound = codec.quant.eb();
+    conf.quantbinCnt = codec.quant.radius() * 2;
+}
+
+// NOPRED variant of the packed open (same deferred-decode contract)
+template <class T>
+void nopred_open_packed(Conf& conf, const uint8_t* payload, size_t len,
+                        std::vector<uint8_t>& bits, uint64_t& count, int64_t& offset,
+                        std::vector<uint32_t>& codes, std::vector<uint8_t>& lens,
+                        int64_t& const_sym, std::vector<T>& unpred) {
+    NopredCodec<T> codec;
+    codec.n = conf.num();
+    auto raw = zstd_unpack(payload, len);
+    Source src(raw.data(), raw.size());
+    codec.load(src);
+    Huffman<int32_t> huff;
+    huff.load(src);
+    count = src.template get<size_t>();
+    size_t nbytes = src.template get<size_t>();
+    bits.assign(src.cursor(), src.cursor() + nbytes);
+    offset = int64_t(huff.offset());
+    const_sym = -1;
+    if (huff.constant_stream()) {
+        const_sym = int64_t(huff.constant_symbol());
+    } else if (!huff.export_loaded_codes(codes, lens)) {
+        throw std::runtime_error("huffman codes exceed 32 bits");
+    }
+    unpred = codec.quant.unpred;
+    conf.absErrorBound = codec.quant.eb();
+    conf.quantbinCnt = codec.quant.radius() * 2;
+}
+
 // device-packed pieces -> NOPRED payload, same framing as interp_seal_packed
 // (reference SZAlgoNopred.hpp:13-36: NoPredictionDecomposition saves only the
 // quantizer; the encoder/count/bits layout is SZGenericCompressor.hpp:38-63)

@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <tuple>
 #include <vector>
 
 #include "common.hpp"
@@ -288,6 +289,43 @@ class Huffman {
 
     uint32_t state_num() const { return state_num_; }
     T offset() const { return offset_; }
+    bool constant_stream() const { return pool_leaf_[root_] != 0; }
+    T constant_symbol() const {
+        return T(int64_t(pool_sym_[root_]) + int64_t(offset_));
+    }
+
+    // After load(): the encode-side code arrays are only populated by
+    // build_from_freq, so recover per-symbol (code, len) by walking the
+    // reconstructed tree. Returns false if any code exceeds 32 bits (the
+    // device decode kernel's limit; caller falls back to host decode).
+    // Sizing by max leaf symbol + 1 (the serialized stateNum/2*2 round-trip
+    // can shrink an odd stateNum by one).
+    bool export_loaded_codes(std::vector<uint32_t>& codes,
+                             std::vector<uint8_t>& lens) const {
+        int64_t maxs = -1;
+        for (uint32_t i = 0; i < node_count_; i++)
+            if (pool_leaf_[i]) maxs = std::max(maxs, int64_t(pool_sym_[i]));
+        codes.assign(size_t(maxs + 1), 0);
+        lens.assign(size_t(maxs + 1), 0);
+        // iterative DFS: (node, code, len)
+        std::vector<std::tuple<int, uint32_t, int>> st;
+        st.emplace_back(root_, 0u, 0);
+        bool ok = true;
+        while (!st.empty()) {
+            auto [node, code, len] = st.back();
+            st.pop_back();
+            if (pool_leaf_[node]) {
+                if (len > 32) { ok = false; continue; }
+                codes[size_t(pool_sym_[node])] = code;
+                lens[size_t(pool_sym_[node])] = uint8_t(len);
+                continue;
+            }
+            if (len >= 32) { ok = false; continue; }
+            st.emplace_back(pool_l_[node], code << 1, len + 1);
+            st.emplace_back(pool_r_[node], (code << 1) | 1u, len + 1);
+        }
+        return ok;
+    }
 
   private:
     // node pool; creation order mirrors the reference pool so heap ties and

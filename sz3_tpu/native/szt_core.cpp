@@ -694,6 +694,53 @@ int szt_interp_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len
     }
 }
 
+// ---- packed open (deferred entropy decode, device decode path) --------------
+
+int szt_open_packed(SztConf* conf, int algo, const uint8_t* payload, uint64_t len,
+                    uint8_t** bits_out, uint64_t* bits_len, uint64_t* count, int64_t* offset,
+                    uint32_t** codes_out, uint8_t** lens_out, uint64_t* ncodes,
+                    int64_t* const_sym, uint8_t** unpred_out, uint64_t* unpred_bytes,
+                    char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> bits, lens;
+        std::vector<uint32_t> codes;
+        auto open = [&](auto* tp) {
+            using T = std::remove_pointer_t<decltype(tp)>;
+            std::vector<T> up;
+            if (algo == 2) {
+                switch (k.N()) {
+                    case 1: interp_open_packed<T, 1>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, up); break;
+                    case 2: interp_open_packed<T, 2>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, up); break;
+                    case 3: interp_open_packed<T, 3>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, up); break;
+                    case 4: interp_open_packed<T, 4>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, up); break;
+                    default: throw std::runtime_error("unsupported dimensionality");
+                }
+            } else if (algo == 3) {
+                nopred_open_packed<T>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, up);
+            } else {
+                throw std::runtime_error("unsupported algo for packed open");
+            }
+            std::vector<uint8_t> raw(reinterpret_cast<uint8_t*>(up.data()),
+                                     reinterpret_cast<uint8_t*>(up.data() + up.size()));
+            *unpred_out = to_malloc(raw, unpred_bytes);
+        };
+        if (conf->engineType == 0) open(static_cast<float*>(nullptr));
+        else if (conf->engineType == 1) open(static_cast<double*>(nullptr));
+        else throw std::runtime_error("unsupported dtype for device path");
+        *bits_out = to_malloc(bits, bits_len);
+        std::vector<uint8_t> craw(reinterpret_cast<uint8_t*>(codes.data()),
+                                  reinterpret_cast<uint8_t*>(codes.data() + codes.size()));
+        uint64_t cb = 0;
+        *codes_out = reinterpret_cast<uint32_t*>(to_malloc(craw, &cb));
+        *lens_out = to_malloc(lens, ncodes);
+        from_conf(k, conf);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- device NOPRED seal/open -------------------------------------------------
 
 int szt_nopred_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len,

@@ -13,14 +13,21 @@ concatenation of per-symbol codes) without the bins ever leaving the device:
          kernel 1: per 8192-element chunk, pack 128 rows of 64 codes by a
                    64-step vectorized scan, then concatenate the rows with a
                    6-level binary merge tree, emitting 2 splice segments per
-                   chunk (rows pre-shuffled to
-                   bit-reversed lanes so half-pairing yields natural order;
-                   variable shifts decompose into static rolls + selects —
-                   no gathers, no scatters, no lane-dynamic addressing)
-         kernel 2: sequential global splice: each chunk frame is bit-shifted,
-                   lane-rotated and OR-DMA'd into the output at its exclusive
-                   prefix bit offset (Mosaic only allows dynamic offsets on
-                   the sublane dim; the lane part rides a traced roll)
+                   chunk (rows pre-shuffled to bit-reversed lanes so
+                   half-pairing yields natural order; variable shifts
+                   decompose into static rolls + selects — no gathers, no
+                   scatters, no lane-dynamic addressing). The merge is
+                   size-classed: typical chunks (~5-6 bits/symbol) run the
+                   tree on a 16-word frame instead of the 66-word worst case
+                   (~4x less padding traffic), and segment writes are
+                   content-proportional granules.
+         kernel 2: batched splice: 128 segments per grid step are bit-shifted,
+                   lane-rotated and OR-placed into a VMEM accumulator at
+                   their exclusive prefix bit offsets (pure vector ops), then
+                   the batch span DMAs out in 128-row granules — OR-RMW only
+                   for the granule overlapping the previous batch's tail
+                   (Mosaic only allows dynamic offsets on the sublane dim;
+                   the lane part rides a traced roll)
 
 Constraints (host falls back to the scalar engine when violated):
   * anchor grid present, f32 data, max code length <= 32 bits,
@@ -55,11 +62,11 @@ FRAME_SUB = FRAME_W // LANES        # frame rows when viewed (66, 128)
 MERGE_LEVELS = 6                    # in-kernel merge depth; remaining splits
 SEGS_PER_CHUNK = 128 >> MERGE_LEVELS   # become separate splice segments
 SEG_W = ROWBUF_W * (1 << MERGE_LEVELS)  # words per emitted segment (4224)
+SMALL_W = 16                        # small merge class: every lane's packed
+                                    # row fits 16 words (<= 8 bits/symbol avg)
 SEG_SUB = SEG_W // LANES            # segment rows viewed (33, 128)
-SEG_REG = (SEG_SUB + 1 + 7) // 8 * 8    # 8-aligned DMA region rows
-SPLICE_REG = (FRAME_SUB + 1 + 7) // 8 * 8   # DMA region rows (8-aligned: the
-                                            # TPU faults on non-multiple-of-8
-                                            # sublane counts in dynamic DMAs)
+# (DMA sublane region sizes must be multiples of 8 — the TPU faults on
+# non-multiple-of-8 dynamic DMA regions; the splice uses 128-row granules)
 
 W_HALF = 8190                       # symbol window half-width around radius:
                                     # the largest that fits the 128x128 radix
@@ -289,6 +296,7 @@ def _shl32(x, n):
 def _pack_kernel(wlo_ref, c0_ref, bins_ref, tc_ref, tl_ref,
                  frames_ref, cbits_ref, codes_ref, lens_ref):
     i32 = jnp.int32
+    ci = pl.program_id(0)
     idx = _sym_index(bins_ref[:], wlo_ref[0])            # (64, 128)
     # adaptive lookup: symbols cluster tightly, so the common case reads an
     # 8-row (1024-entry) window of each table at a dynamic sublane offset;
@@ -348,37 +356,66 @@ def _pack_kernel(wlo_ref, c0_ref, bins_ref, tc_ref, tl_ref,
     # sub-128 lane pads/concats): the merge partner is fetched by a lane
     # roll, results are valid in lanes [0, 128 >> (lev+1)) and garbage
     # elsewhere; only the segment lanes of the final frame are read.
-    frame, blen = rowbuf, bits
-    for lev in range(MERGE_LEVELS):
-        half = 128 >> (lev + 1)
-        cap = frame.shape[0]
-        right = pltpu.roll(frame, jnp.int32(128 - half), 1)
-        rlen = pltpu.roll(blen, jnp.int32(128 - half), 1)
-        b = blen & jnp.int32(31)
-        wo = blen >> jnp.int32(5)
-        rp = jnp.pad(right, ((0, cap), (0, 0)))
-        # bit shift right by b with word carry (word w-1 is one sublane up)
-        prev = pltpu.roll(rp, jnp.int32(1), 0)
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, rp.shape, 0)
-        prev = jnp.where(sub_iota == 0, 0, prev)
-        rs = _shr32(rp, b) | _shl32(prev, jnp.int32(32) - b)
-        # word offset by wo: binary-decomposed sublane rolls (zero-padded
-        # frame -> wrapped words are zeros)
-        for j in range(int(np.log2(2 * cap)) + 1):
-            sh = 1 << j
-            if sh >= 2 * cap:
-                break
-            rolled = pltpu.roll(rs, jnp.int32(sh), 0)
-            rolled = jnp.where(sub_iota < sh, 0, rolled)
-            rs = jnp.where((wo & jnp.int32(sh)) != jnp.int32(0), rolled, rs)
-        frame = jnp.pad(frame, ((0, cap), (0, 0))) | rs
-        blen = blen + rlen
+    #
+    # The merge is SIZE-CLASSED: capacity doubles per level, but typical
+    # chunks carry ~5-6 bits/symbol (~12 words/lane vs the 66-word worst
+    # case), so running the tree at full capacity processes ~5x zero padding.
+    # When every lane fits SMALL_W words the tree runs on a SMALL_W-row
+    # frame; the final frame then covers only the content rows of each
+    # segment, and the splice reads content-proportional granules (it knows
+    # cbits), so garbage beyond is never observed.
+    def merge(frame, blen):
+        for lev in range(MERGE_LEVELS):
+            half = 128 >> (lev + 1)
+            cap = frame.shape[0]
+            right = pltpu.roll(frame, jnp.int32(128 - half), 1)
+            rlen = pltpu.roll(blen, jnp.int32(128 - half), 1)
+            b = blen & jnp.int32(31)
+            wo = blen >> jnp.int32(5)
+            rp = jnp.pad(right, ((0, cap), (0, 0)))
+            # bit shift right by b with word carry (word w-1 one sublane up)
+            prev = pltpu.roll(rp, jnp.int32(1), 0)
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, rp.shape, 0)
+            prev = jnp.where(sub_iota == 0, 0, prev)
+            rs = _shr32(rp, b) | _shl32(prev, jnp.int32(32) - b)
+            # word offset by wo: binary-decomposed sublane rolls (zero-padded
+            # frame -> wrapped words are zeros)
+            for j in range(int(np.log2(2 * cap)) + 1):
+                sh = 1 << j
+                if sh >= 2 * cap:
+                    break
+                rolled = pltpu.roll(rs, jnp.int32(sh), 0)
+                rolled = jnp.where(sub_iota < sh, 0, rolled)
+                rs = jnp.where((wo & jnp.int32(sh)) != jnp.int32(0), rolled, rs)
+            frame = jnp.pad(frame, ((0, cap), (0, 0))) | rs
+            blen = blen + rlen
+        return frame, blen
 
-    # SEGS_PER_CHUNK segments land in lanes 0..SEGS_PER_CHUNK-1; their
-    # concatenation order equals lane order (C7(0) expands left-to-right)
-    for k in range(SEGS_PER_CHUNK):
-        frames_ref[k * SEG_W:(k + 1) * SEG_W, :] = frame[:, k:k + 1]
-        cbits_ref[pl.program_id(0) * SEGS_PER_CHUNK + k] = blen[0, k]
+    def emit(frame, blen, grain):
+        # content-proportional segment write: segment k's words live in
+        # frame[:, k] rows [0, ceil(cbits/32)); only granules overlapping
+        # content are stored (the splice never reads beyond content)
+        for k in range(SEGS_PER_CHUNK):
+            cw = (blen[0, k] + jnp.int32(31)) >> jnp.int32(5)
+            for g in range(0, frame.shape[0], grain):
+                @pl.when(jnp.int32(g) < cw)
+                def _():
+                    frames_ref[k * SEG_W + g:k * SEG_W + g + grain, :] = \
+                        frame[g:g + grain, k:k + 1]
+            cbits_ref[ci * SEGS_PER_CHUNK + k] = blen[0, k]
+
+    maxbits = jnp.max(bits, axis=1, keepdims=True)[0, 0]
+    small = maxbits < jnp.int32(SMALL_W * 32)
+
+    @pl.when(small)
+    def _():
+        frame, blen = merge(rowbuf[:SMALL_W, :], bits)
+        emit(frame, blen, 64)
+
+    @pl.when(jnp.logical_not(small))
+    def _():
+        frame, blen = merge(rowbuf, bits)
+        emit(frame, blen, SEG_W)      # rare worst-case class: single write
 
 
 def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, c0, nc):
@@ -412,72 +449,115 @@ def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, c0, nc):
 # ---- jit B kernel 2: global splice ----------------------------------------------
 
 
-def _splice_kernel(gsub_ref, glane_ref, gbit_ref, frames_ref, _aliased_in,
-                   out_hbm, vin, vout, sem_in, sem_out):
+SPLICE_BATCH = 128                  # segments assembled in VMEM per grid step
+ACC_ROWS = SPLICE_BATCH * SEG_SUB + 128   # batch accumulator (worst span +
+                                          # start offset + rotation spill)
+ACC_G = -(-ACC_ROWS // 128)         # 128-row output granules per batch
+
+
+def _splice_kernel(gw_ref, gbit_ref, cb_ref, frames_ref, _aliased_in,
+                   out_hbm, acc_ref, vin, vout, sem_in, sem_out):
+    """Batched splice: assemble SPLICE_BATCH segments at their bit offsets
+    into a VMEM accumulator (pure vector ops, no per-segment DMA), then DMA
+    the span out in 128-row granules — OR-RMW only for granule 0 (overlap
+    with the previous batch's tail), pure writes beyond. Content-proportional:
+    segment masking and the granule count derive from cbits, so the
+    size-classed pack frames' garbage rows are never observed."""
+    i32 = jnp.int32
     ci = pl.program_id(0)
-    gl = glane_ref[ci]
-    gb = gbit_ref[ci]
-    gs = gsub_ref[ci]
+    base = ci * jnp.int32(SPLICE_BATCH)
+    abase = gw_ref[base] >> i32(7)  # out row of acc row 0 for this batch
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    lane_i = jax.lax.broadcasted_iota(i32, (SEG_SUB, 128), 1)
+    sub_i = jax.lax.broadcasted_iota(i32, (SEG_SUB, 128), 0)
+    widx = sub_i * i32(128) + lane_i
+    lane_r = jax.lax.broadcasted_iota(i32, (SEG_SUB + 1, 128), 1)
 
-    f = frames_ref[0]                                     # (SEG_SUB, 128) row-major words
-    # bit shift right by gb; previous word = lane-1 (wrapping to previous
-    # sublane's lane 127)
-    a = pltpu.roll(f, jnp.int32(1), 1)
-    b2 = pltpu.roll(a, jnp.int32(1), 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
-    prev = jnp.where(lane_iota == 0, b2, a)
-    prev = jnp.where((lane_iota == 0) & (sub_iota == 0), 0, prev)
-    fs = _shr32(f, gb) | _shl32(prev, jnp.int32(32) - gb)
-    # rotate by gl lanes; wrapped lanes land one sublane further down
-    rot = pltpu.roll(fs, gl, 1)
-    wrapped = lane_iota < gl
-    down = jnp.pad(rot, ((1, 0), (0, 0)))[:-1, :]
-    keep = jnp.pad(rot, ((0, 1), (0, 0)))
-    down = jnp.pad(down, ((0, 1), (0, 0)))
-    # region: FRAME_SUB+1 sublanes starting at gs; wrapped lanes (the rotate
-    # carried them past lane 127) take the one-sublane-down copy everywhere,
-    # including the extra boundary row
-    lane_r = jax.lax.broadcasted_iota(jnp.int32, (SEG_SUB + 1, 128), 1)
-    region = jnp.where(lane_r < gl, down, keep)
-    # pad to the 8-aligned DMA region; extra rows are zero and the OR-RMW
-    # leaves the underlying words untouched
-    region = jnp.pad(region, ((0, SEG_REG - (SEG_SUB + 1)), (0, 0)))
+    for s in range(SPLICE_BATCH):
+        gws = gw_ref[base + jnp.int32(s)]
+        gb = gbit_ref[base + jnp.int32(s)]
+        cbs = cb_ref[base + jnp.int32(s)]
 
-    # OR-RMW into the output at sublane offset gs
-    cp_in = pltpu.make_async_copy(
-        out_hbm.at[pl.ds(gs, SEG_REG), :], vin, sem_in)
-    cp_in.start()
-    cp_in.wait()
-    vout[:] = vin[:] | region
-    cp_out = pltpu.make_async_copy(
-        vout, out_hbm.at[pl.ds(gs, SEG_REG), :], sem_out)
-    cp_out.start()
-    cp_out.wait()
+        @pl.when(cbs > 0)
+        def _():
+            f = frames_ref[s]                             # (SEG_SUB, 128)
+            # mask garbage beyond content (size-classed frames)
+            cw0 = (cbs + i32(31)) >> i32(5)
+            f = jnp.where(widx < cw0, f, i32(0))
+            # bit shift right by gb; previous word = lane-1 (wrapping to the
+            # previous sublane's lane 127)
+            a = pltpu.roll(f, i32(1), 1)
+            b2 = pltpu.roll(a, i32(1), 0)
+            prev = jnp.where(lane_i == 0, b2, a)
+            prev = jnp.where((lane_i == 0) & (sub_i == 0), 0, prev)
+            fs = _shr32(f, gb) | _shl32(prev, i32(32) - gb)
+            # place at word offset rel within the accumulator: rotate by
+            # rel&127 lanes (wrapped lanes land one sublane down), rows at
+            # rel>>7
+            rel = gws - (abase << i32(7))
+            gl = rel & i32(127)
+            rot = pltpu.roll(fs, gl, 1)
+            down = jnp.pad(rot, ((1, 0), (0, 0)))[:-1, :]
+            keep = jnp.pad(rot, ((0, 1), (0, 0)))
+            down = jnp.pad(down, ((0, 1), (0, 0)))
+            region = jnp.where(lane_r < gl, down, keep)
+            region = jnp.pad(region, ((0, 40 - (SEG_SUB + 1)), (0, 0)))
+            rr = rel >> i32(7)
+            cur = acc_ref[pl.ds(rr, 40), :]
+            acc_ref[pl.ds(rr, 40), :] = cur | region
+
+    # span of this batch in 128-row granules (last segment's end)
+    last = base + jnp.int32(SPLICE_BATCH - 1)
+    end_w = gw_ref[last] + ((gbit_ref[last] + cb_ref[last] + i32(31)) >> i32(5))
+    span_g = (end_w - (abase << i32(7)) + i32(128 * 128 - 1)) >> i32(14)
+
+    for g in range(ACC_G):
+        @pl.when(i32(g) < span_g)
+        def _():
+            if g == 0:
+                # overlaps the previous batch's tail: OR-RMW
+                cp_in = pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(abase, 128), :], vin, sem_in)
+                cp_in.start()
+                cp_in.wait()
+                vout[:] = vin[:] | acc_ref[0:128, :]
+                cp_out = pltpu.make_async_copy(
+                    vout, out_hbm.at[pl.ds(abase, 128), :], sem_out)
+                cp_out.start()
+                cp_out.wait()
+            else:
+                cp_out = pltpu.make_async_copy(
+                    acc_ref.at[pl.ds(g * 128, 128), :],
+                    out_hbm.at[pl.ds(abase + i32(g * 128), 128), :], sem_out)
+                cp_out.start()
+                cp_out.wait()
 
 
-def _splice(frames, gsub, glane, gbit, out_zeros, nseg):
+def _splice(frames, gw, gbit, cb, out_zeros, nbatches):
     with jax.enable_x64(False):
         return pl.pallas_call(
             _splice_kernel,
             out_shape=jax.ShapeDtypeStruct(out_zeros.shape, jnp.int32),
-            grid=(nseg,),
+            grid=(nbatches,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, SEG_SUB, 128), lambda c: (c, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((SPLICE_BATCH, SEG_SUB, 128),
+                             lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),   # aliased output buffer
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.VMEM((SEG_REG, 128), jnp.int32),
-                            pltpu.VMEM((SEG_REG, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((ACC_ROWS, 128), jnp.int32),
+                            pltpu.VMEM((128, 128), jnp.int32),
+                            pltpu.VMEM((128, 128), jnp.int32),
                             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
             input_output_aliases={4: 0},
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret(),
-        )(gsub, glane, gbit, frames, out_zeros)
+        )(gw, gbit, cb, frames, out_zeros)
 
 
 @functools.partial(jax.jit, static_argnames=("nc", "out_sub"))
@@ -495,12 +575,21 @@ def pack_bits(bins_padded, table_codes, table_lens, wlo, c0, nc: int,
     frames, cbits = _pack_chunks(bins_bitrev, table_codes, table_lens, wlo,
                                  c0, nc)
     goff = jnp.cumsum(cbits.astype(jnp.int64)) - cbits.astype(jnp.int64)
-    gw = (goff >> 5).astype(jnp.int64)
-    gsub = (gw >> 7).astype(jnp.int32)
-    glane = (gw & 127).astype(jnp.int32)
+    gw = (goff >> 5).astype(jnp.int32)
     gbit = (goff & 31).astype(jnp.int32)
     nseg = nc * SEGS_PER_CHUNK
+    npad = (-nseg) % SPLICE_BATCH
     frames3 = frames.reshape(nseg, SEG_SUB, 128)
+    if npad:
+        frames3 = jnp.pad(frames3, ((0, npad), (0, 0), (0, 0)))
+        end_w = ((goff[-1] + cbits[-1].astype(jnp.int64) + 31) >> 5
+                 ).astype(jnp.int32)
+        gw = jnp.concatenate([gw, jnp.full((npad,), 1, jnp.int32) * end_w])
+        gbit = jnp.pad(gbit, (0, npad))
+        cb = jnp.pad(cbits, (0, npad))
+    else:
+        cb = cbits
     out = jnp.zeros((out_sub, 128), jnp.int32)
-    out = _splice(frames3, gsub, glane, gbit, out, nseg)
+    out = _splice(frames3, gw, gbit, cb, out,
+                  (nseg + npad) // SPLICE_BATCH)
     return out, cbits

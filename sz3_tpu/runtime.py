@@ -123,6 +123,13 @@ def lib() -> C.CDLL:
                                          C.c_void_p, u64, C.c_void_p, u64, C.c_void_p, u64,
                                          C.c_void_p, u64, u64, C.POINTER(u8p), C.POINTER(u64),
                                          C.c_char_p, u64]
+        l.szt_open_packed.restype = C.c_int
+        l.szt_open_packed.argtypes = [
+            C.POINTER(SztConfC), C.c_int, C.c_char_p, u64,
+            C.POINTER(u8p), C.POINTER(u64), C.POINTER(u64),
+            C.POINTER(C.c_int64), C.POINTER(C.POINTER(C.c_uint32)),
+            C.POINTER(u8p), C.POINTER(u64), C.POINTER(C.c_int64),
+            C.POINTER(u8p), C.POINTER(u64), C.c_char_p, u64]
         l.szt_nopred_seal_packed.restype = C.c_int
         l.szt_nopred_seal_packed.argtypes = [
             C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p, u64, u64,
@@ -428,6 +435,43 @@ def interp_seal_packed(conf: Config, tree: bytes, bits: bytes, bit_count: int,
         raise RuntimeError(f"szt_interp_seal_packed: {err.value.decode()}")
     conf_from_c(c, conf)
     return _take(out, out_len)
+
+
+def open_packed(conf: Config, payload: bytes, dtype, algo: int = 2):
+    """Payload -> raw entropy pieces WITHOUT the Huffman bit-walk (device
+    decode path): (bits bytes, count, offset, codes u32, lens u8, const_sym,
+    unpred). const_sym >= 0 marks a constant stream (empty bits). algo: 2 =
+    INTERP, 3 = NOPRED. conf picks up the archived params."""
+    dt = np_dtype_id(np.empty(0, dtype=dtype))
+    c = conf_to_c(conf, engine_dtype=dt)
+    bits_p = C.POINTER(C.c_uint8)()
+    bits_len = C.c_uint64()
+    count = C.c_uint64()
+    offset = C.c_int64()
+    codes_p = C.POINTER(C.c_uint32)()
+    lens_p = C.POINTER(C.c_uint8)()
+    ncodes = C.c_uint64()
+    const_sym = C.c_int64()
+    un_p = C.POINTER(C.c_uint8)()
+    un_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_open_packed(
+        C.byref(c), C.c_int(algo), payload, C.c_uint64(len(payload)),
+        C.byref(bits_p), C.byref(bits_len), C.byref(count), C.byref(offset),
+        C.byref(codes_p), C.byref(lens_p), C.byref(ncodes),
+        C.byref(const_sym), C.byref(un_p), C.byref(un_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_open_packed: {err.value.decode()}")
+    bits = _take(bits_p, bits_len)
+    n = int(ncodes.value)
+    codes = np.ctypeslib.as_array(codes_p, shape=(n,)).astype(np.uint32, copy=True) \
+        if n else np.zeros(0, np.uint32)
+    lib().szt_free(C.cast(codes_p, C.c_void_p))
+    lens = np.frombuffer(_take(lens_p, ncodes), dtype=np.uint8)
+    unpred = np.frombuffer(_take(un_p, un_len), dtype=dtype)
+    conf_from_c(c, conf)
+    return (bits, int(count.value), int(offset.value), codes, lens,
+            int(const_sym.value), unpred)
 
 
 def nopred_seal_packed(conf: Config, tree: bytes, bits: bytes, bit_count: int,
