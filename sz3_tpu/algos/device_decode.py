@@ -1,0 +1,147 @@
+"""Fully device-resident decode paths: archive payload -> array with the
+Huffman bit-walk on the TPU.
+
+Mirrors algos/device_encode.py in the decode direction (VERDICT r2 item 2:
+the reference decodes everything in one engine, HuffmanEncoder.hpp:225-279 +
+SZGenericCompressor.hpp:65-84; a TPU-native framework must close the loop):
+
+  host : zstd + payload framing open WITHOUT the bit-walk
+         (runtime.open_packed -> raw bitstream + exported code table)
+  device: speculative window decode of the Huffman stream to the dense
+         archive-order symbol sequence (ops/entropy_decode.py; host
+         validates the window chain, stragglers re-decode on device)
+  device: literal scatter (unpredictables land at their zero-bin slots via
+         cumsum + searchsorted + a small scatter) and the structured inverse
+         stream layout (ops/stream_unlayout.py) -> per-pass bins/literals
+  device: multi-level grid recovery (ops/interp_fast.decode_grid_fast)
+
+NOPRED skips the layout step (stream order == element order,
+reference NoPredictionDecomposition.hpp) and recovers vs zero.
+
+Fallbacks (non-f32, no anchor grid, tree outside the window-decode profile,
+tiny streams) are counted with reasons like the encode side."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import runtime
+from ..config import Config
+from ..ops.entropy_decode import DecodeFallback, decode_stream
+from ..ops.interp_fast import (build_fast_plan, decode_grid_fast, _maybe_on,
+                               exec_device)
+from ..ops.stream_layout import build_stream_layout
+from ..ops.stream_unlayout import (build_inverse_plan, dense_count,
+                                   invert_stream_layout)
+from .device_encode import Fallback, _fall
+
+
+@lru_cache(maxsize=16)
+def _static_dec(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
+                quantbin_cnt, dtype_name):
+    plan = build_fast_plan(dims, interp_algo=interp_algo, direction=direction,
+                           anchor_stride=anchor_stride, alpha=alpha, beta=beta,
+                           eb=eb, quantbin_cnt=quantbin_cnt)
+    if plan.anchor_stride == 0:
+        return None, None
+    lp = build_stream_layout(plan, interp_algo)
+    lplans = build_inverse_plan(lp)
+    need = dense_count(lp, lplans)
+    anchor_dims = tuple((d - 1) // plan.anchor_stride + 1 for d in dims)
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def finish(dense2d, unpred):
+        dense = dense2d.reshape(-1)[:need]
+        lit_dense = _place_literals(dense, unpred, dtype)
+        _anc_b, bins_list = invert_stream_layout(jnp, lp, lplans, dense)
+        anc_l, lit_list = invert_stream_layout(jnp, lp, lplans, lit_dense)
+        lit0 = anc_l.reshape(anchor_dims)
+        return decode_grid_fast(bins_list, lit_list, plan, lit0, None, dtype)
+
+    return need, finish
+
+
+def _place_literals(dense, unpred, dtype):
+    """Literal values to their zero-bin slots, in stream order: the k-th
+    zero bin consumes unpred[k] (LinearQuantizer.hpp:74-86 recover order).
+    cumsum + searchsorted + an unpred-sized scatter — never a dense gather."""
+    if unpred.shape[0] == 0:
+        return jnp.zeros(dense.shape[0], dtype)
+    ranks = jnp.cumsum((dense == 0).astype(jnp.int32))
+    ks = jnp.arange(1, unpred.shape[0] + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(ranks, ks, side="left")
+    return jnp.zeros(dense.shape[0], dtype).at[pos].set(unpred)
+
+
+def _dense_bins(bits: bytes, count: int, offset: int, codes, lens,
+                const_sym: int):
+    """Huffman stream -> dense device symbol array (rows, 128)."""
+    if const_sym >= 0:
+        rows = -(-count // 128) + 1
+        return jnp.full((rows, 128), jnp.int32(const_sym))
+    try:
+        return decode_stream(bits, count, np.asarray(codes, np.int64),
+                             np.asarray(lens, np.int64), offset)
+    except DecodeFallback as e:
+        raise _fall(f"device entropy decode: {e}")
+
+
+def decode_payload_device(conf: Config, payload: bytes, dtype) -> np.ndarray:
+    """INTERP payload -> array with the whole decode on-device."""
+    if np.dtype(dtype) != np.float32:
+        raise _fall("device decode path is f32-only")
+    bits, count, offset, codes, lens, const_sym, unpred = \
+        runtime.open_packed(conf, payload, dtype, algo=2)
+    need, finish = _static_dec(tuple(conf.dims), int(conf.interpAlgo),
+                               conf.interpDirection, conf.interpAnchorStride,
+                               conf.interpAlpha, conf.interpBeta,
+                               conf.absErrorBound, conf.quantbinCnt,
+                               np.dtype(dtype).name)
+    if finish is None:
+        raise _fall("no anchor grid")
+    if count != need:
+        raise _fall(f"archived count {count} != layout count {need}")
+    dev = exec_device()
+    with _maybe_on(dev):
+        dense = _dense_bins(bits, count, offset, codes, lens, const_sym)
+        out = finish(dense, jnp.asarray(unpred))
+        return np.asarray(out)
+
+
+def decode_payload_device_nopred(conf: Config, payload: bytes,
+                                 dtype) -> np.ndarray:
+    """NOPRED payload -> array; stream order is element order."""
+    if np.dtype(dtype) != np.float32:
+        raise _fall("device decode path is f32-only")
+    bits, count, offset, codes, lens, const_sym, unpred = \
+        runtime.open_packed(conf, payload, dtype, algo=3)
+    num = conf.num
+    if count != num:
+        raise _fall(f"archived count {count} != num {num}")
+    dev = exec_device()
+    with _maybe_on(dev):
+        dense = _dense_bins(bits, count, offset, codes, lens, const_sym)
+        out = _nopred_finish(num, conf.absErrorBound, conf.quantbinCnt,
+                             np.dtype(dtype).name)(dense, jnp.asarray(unpred))
+        return np.asarray(out)
+
+
+@lru_cache(maxsize=16)
+def _nopred_finish(num, eb, quantbin_cnt, dtype_name):
+    from ..ops.quantize import recover
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def finish(dense2d, unpred):
+        bins = dense2d.reshape(-1)[:num]
+        literal = _place_literals(bins, unpred, dtype)
+        return recover(jnp.zeros(num, dtype), bins, literal, eb,
+                       quantbin_cnt // 2)
+
+    return finish

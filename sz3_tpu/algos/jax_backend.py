@@ -76,6 +76,19 @@ def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
 
 
 def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_decode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_decode.decode_payload_device(conf, payload, dtype)
+            except device_decode.Fallback:
+                pass
     stream, unpred = runtime.interp_open(conf, payload, dtype)
     perm = _stream_perm(tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection, conf.interpAnchorStride)
     bins_grid, literal = runtime.perm_place(perm, stream, unpred, tuple(conf.dims), dtype)
@@ -106,7 +119,22 @@ def _nopred_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
 
 
 def _nopred_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
-    """NOPRED decode: host entropy open, vectorized device recover."""
+    """NOPRED decode: device entropy decode + vectorized recover; host
+    entropy open on fallback."""
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_decode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_decode.decode_payload_device_nopred(
+                    conf, payload, dtype)
+            except device_decode.Fallback:
+                pass
     bins, unpred = runtime.nopred_open(conf, payload, dtype)
     literal = np.zeros(conf.num, dtype=dtype)
     if unpred.size:
