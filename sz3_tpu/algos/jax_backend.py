@@ -188,7 +188,9 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
     if conf.absErrorBound == 0:
         conf.cmprAlgo = ALGO.LOSSLESS
     if conf.cmprAlgo == ALGO.INTERP_LORENZO:
-        runtime.tune_interp(conf, data)  # host-side sampling decision
+        from . import tuner
+        if not tuner.tune(conf, data):          # vmapped trials on device
+            runtime.tune_interp(conf, data)     # native tuner (1D / non-f32)
     if conf.cmprAlgo == ALGO.LOSSLESS:
         return runtime.zstd_compress(data.tobytes())
     if conf.cmprAlgo == ALGO.INTERP:
