@@ -132,6 +132,42 @@ def decode_payload_device_nopred(conf: Config, payload: bytes,
         return np.asarray(out)
 
 
+def decode_payload_device_biomd(conf: Config, payload: bytes,
+                                dtype) -> np.ndarray:
+    """ALGO_BIOMD payload -> array with the frames>0 recover scan on-device
+    (ops/biomd_device.py). The HuffmanV2 + zstd open and frame 0's sequential
+    recover chain run in the native engine."""
+    if np.dtype(dtype) != np.float32:
+        raise _fall("biomd device path is f32-only")
+    if len(conf.dims) != 3:
+        raise _fall("biomd device path is 3D-only")
+    from ..ops import biomd_device as bd
+
+    bins, unpred, site, first_fill, fill = runtime.biomd_open(conf, payload)
+    frames, atoms, cols = conf.dims
+    last = min(frames, first_fill)
+    if site == 0 or last < 2:
+        raise _fall("biomd device decode: aperiodic or short trajectory")
+    if bins.size != conf.num:
+        raise _fall(f"biomd bins count {bins.size} != num {conf.num}")
+    eb = conf.absErrorBound
+    radius = conf.quantbinCnt // 2
+    acols = atoms * cols
+    bins0 = bins[:acols].reshape(atoms, cols)
+    n0 = int((bins0 == 0).sum())
+    recon0 = runtime.biomd_frame0_open(eb, radius, site, bins0, unpred[:n0])
+    bins_rest = bins[acols:last * acols].reshape(last - 1, atoms, cols)
+    n_rest = int((bins_rest == 0).sum())
+    recs = bd.decode_frames(bins_rest, unpred[n0:n0 + n_rest], recon0,
+                            eb, radius, site)
+    out = np.empty((frames, atoms, cols), np.float32)
+    out[0] = recon0
+    out[1:last] = recs
+    if first_fill < frames:
+        out[first_fill:] = fill
+    return out
+
+
 @lru_cache(maxsize=16)
 def _nopred_finish(num, eb, quantbin_cnt, dtype_name):
     from ..ops.quantize import recover

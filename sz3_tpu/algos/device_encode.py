@@ -273,3 +273,44 @@ def encode_payload_device_nopred(conf: Config, data, cap: int) -> bytes:
     unpred = _literals(lits, n_lit, dtype)
     return runtime.nopred_seal_packed(conf, tree, bits_bytes, total_bits,
                                       num, unpred, cap)
+
+
+# ---- BIOMD -------------------------------------------------------------------
+
+
+def encode_payload_device_biomd(conf: Config, data, cap: int) -> bytes:
+    """ALGO_BIOMD with the frames>0 recurrence on-device: two vectorized
+    quantize steps per frame under a lax.scan (ops/biomd_device.py). Frame 0's
+    sequential atom chain and the HuffmanV2 + zstd sealing run in the native
+    engine (reference SZBioMDDecomposition.hpp:229-285, SZAlgoBioMD.hpp:24-27).
+    Falls back (counted) for non-f32, non-3D, aperiodic (site==0, where every
+    frame is a previous-atom chain) or trajectories with < 2 live frames."""
+    data = np.asarray(data)
+    if data.dtype != np.float32:
+        raise _fall("biomd device path is f32-only")
+    if len(conf.dims) != 3:
+        raise _fall("biomd device path is 3D-only")
+    from ..ops import biomd_device as bd
+
+    data = np.ascontiguousarray(data.reshape(conf.dims))
+    frames = conf.dims[0]
+    if frames < 2:
+        raise _fall("biomd trajectory too short for the device scan")
+    site = bd.cal_site(data[1])
+    if site == 0:
+        raise _fall("biomd aperiodic data (site=0): previous-atom chain")
+    first_fill, fill = bd.find_fill(data)
+    last = min(frames, first_fill)
+    if last < 2:
+        raise _fall("biomd trajectory too short for the device scan")
+    eb = conf.absErrorBound
+    radius = conf.quantbinCnt // 2
+    bins0, recon0, unpred0 = runtime.biomd_frame0(eb, radius, site, data[0])
+    bins_rest, unpred_rest = bd.encode_frames(data[1:last], recon0, eb,
+                                              radius, site)
+    bins = np.zeros(conf.num, np.int32)
+    acols = conf.dims[1] * conf.dims[2]
+    bins[:acols] = bins0.ravel()
+    bins[acols:last * acols] = bins_rest.ravel()
+    unpred = np.concatenate([unpred0, unpred_rest.astype(np.float32)])
+    return runtime.biomd_seal(conf, bins, unpred, site, first_fill, fill, cap)

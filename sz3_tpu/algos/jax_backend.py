@@ -151,6 +151,47 @@ def _nopred_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
         return np.asarray(out)
 
 
+def _biomd_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
+    """ALGO_BIOMD with the frames>0 recurrence on-device (two vectorized
+    quantize steps per frame; reference SZBioMDDecomposition.hpp:229-285);
+    host engine on fallback."""
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_encode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_encode.encode_payload_device_biomd(conf, data, cap)
+            except device_encode.Fallback:
+                pass
+    return runtime.compress_payload(conf, data, cap)
+
+
+def _biomd_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
+    """ALGO_BIOMD decode with the frames>0 recover scan on-device; host
+    engine on fallback."""
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_decode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_decode.decode_payload_device_biomd(
+                    conf, payload, dtype)
+            except device_decode.Fallback:
+                pass
+    return runtime.decompress_payload(
+        conf, payload, dtype=runtime.np_dtype_id(np.empty(0, dtype=dtype)))
+
+
 def _device_blockwise_mode() -> str:
     """SZT_DEVICE_BLOCKWISE: 0 (default — host engine; the device sweep is
     the correctness-first lax.scan formulation, see ops/blockwise_device.py),
@@ -209,6 +250,16 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
                 raise
             conf.cmprAlgo = ALGO.LOSSLESS
             return runtime.zstd_compress(data.tobytes())
+    elif conf.cmprAlgo == ALGO.BIOMD and data.dtype == np.float32 \
+            and len(conf.dims) == 3:
+        # BioMD returns directly — no ratio fallback (SZDispatcher.hpp:36-39)
+        try:
+            return _biomd_encode_payload(conf, data, cap)
+        except RuntimeError as e:
+            if "buffer too small" not in str(e):
+                raise
+            conf.cmprAlgo = ALGO.LOSSLESS
+            return runtime.zstd_compress(data.tobytes())
     elif (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
           and data.dtype == np.float32 and len(conf.dims) == 3):
         try:
@@ -244,6 +295,8 @@ def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarr
         # f32 only: f64 recover on TPU would ride the float-float emulation
         # and could misround vs the host engine's IEEE doubles
         return _nopred_decode_payload(conf, payload, dt).reshape(conf.dims)
+    if conf.cmprAlgo == ALGO.BIOMD and dt == np.float32 and len(conf.dims) == 3:
+        return _biomd_decode_payload(conf, payload, dt).reshape(conf.dims)
     if (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
             and dt == np.float32 and len(conf.dims) == 3):
         return _blockwise_decode_payload(conf, payload).reshape(conf.dims)

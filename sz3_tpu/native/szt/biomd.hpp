@@ -193,9 +193,10 @@ struct BioMDCodec {
         quant.load(in);
     }
 
-  private:
     // intra-frame pass shared by 2D data and frame 0 of 3D data
-    // (SZBioMDDecomposition.hpp:174-195 / 243-264)
+    // (SZBioMDDecomposition.hpp:174-195 / 243-264). Public: the device path
+    // (ops/biomd_device.py) runs only frames 1..last on-chip and calls these
+    // for the sequential frame-0 atom chain (szt_biomd_frame0_*).
     void compress_frame0(T* data, int32_t* bins, size_t atoms, size_t cols) {
         for (size_t k = 0; k < cols; k++) bins[k] = quant.quantize(data[k], T(0));
         for (size_t j = 1; j < atoms; j++) {

@@ -258,6 +258,84 @@ void decompress_biomd(const Conf& conf, const uint8_t* cmp, size_t len, T* out) 
     }
 }
 
+// ---- BioMD device-path split (ops/biomd_device.py) ---------------------------
+// The device lax.scan computes frames 1..last of a 3D trajectory (each frame
+// is two vectorized quantize steps when site != 0); the sequential frame-0
+// atom chain, the HuffmanV2+zstd sealing and their inverses run here. Payload
+// bytes equal compress_biomd's output for the same input (asserted by
+// tests/test_biomd_device.py).
+
+template <class T>
+void biomd_frame0_encode(double eb, int radius, int32_t site, const T* data,
+                         size_t atoms, size_t cols, int32_t* bins, T* recon,
+                         std::vector<T>& unpred) {
+    BioMDCodec<T, 2> codec;
+    codec.dims = {atoms, cols};
+    codec.quant = LinearQuantizer<T>(eb, radius);
+    codec.site = site;
+    std::vector<T> buf(data, data + atoms * cols);
+    codec.compress_frame0(buf.data(), bins, atoms, cols);
+    std::copy(buf.begin(), buf.end(), recon);
+    unpred = std::move(codec.quant.unpred);
+}
+
+template <class T>
+void biomd_frame0_decode(double eb, int radius, int32_t site, const int32_t* bins,
+                         size_t atoms, size_t cols, const T* unpred,
+                         size_t n_unpred, T* out) {
+    BioMDCodec<T, 2> codec;
+    codec.dims = {atoms, cols};
+    codec.quant = LinearQuantizer<T>(eb, radius);
+    codec.quant.unpred.assign(unpred, unpred + n_unpred);
+    codec.site = site;
+    codec.decompress_frame0(bins, out, atoms, cols);
+}
+
+template <class T, int N>
+std::vector<uint8_t> biomd_seal(Conf& conf, const int32_t* bins, size_t n,
+                                const T* unpred, size_t n_unpred, int32_t site,
+                                size_t first_fill, T fill, size_t cap) {
+    BioMDCodec<T, N> codec;
+    for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+    codec.quant = LinearQuantizer<T>(conf.absErrorBound, conf.quantbinCnt / 2);
+    codec.quant.unpred.assign(unpred, unpred + n_unpred);
+    codec.site = site;
+    codec.first_fill_frame = first_fill;
+    codec.fill_value = fill;
+    HuffmanV2<int32_t> huff;
+    huff.build(bins, n, conf.quantbinCnt);
+    Sink inner;
+    inner.reserve(n / 2 + 4096);
+    codec.save(inner);
+    huff.save(inner);
+    inner.put<size_t>(n);
+    huff.encode(bins, n, inner);
+    return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+}
+
+template <class T, int N>
+void biomd_open(Conf& conf, const uint8_t* cmp, size_t len,
+                std::vector<int32_t>& bins, std::vector<T>& unpred,
+                int32_t& site, size_t& first_fill, T& fill) {
+    auto raw = zstd_unpack(cmp, len);
+    Source src(raw.data(), raw.size());
+    BioMDCodec<T, N> codec;
+    for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+    codec.load(src);
+    HuffmanV2<int32_t> huff;
+    huff.load(src);
+    size_t count = src.template get<size_t>();
+    bins.resize(count);
+    huff.decode(src, count, bins.data());
+    unpred = std::move(codec.quant.unpred);
+    site = codec.site;
+    first_fill = codec.first_fill_frame;
+    fill = codec.fill_value;
+    // effective quantizer params back into conf (cf. nopred_open)
+    conf.absErrorBound = codec.quant.eb();
+    conf.quantbinCnt = codec.quant.radius() * 2;
+}
+
 // ALGO_BIOMDXTC: Xtc decomposition -> XtcBasedEncoder -> bypass (no zstd).
 // Payload layout [decomp][encoder save][count u64][xtc stream] per
 // SZGenericCompressor with Lossless_bypass (SZAlgoBioMD.hpp:46-48).

@@ -856,6 +856,94 @@ int szt_blockwise_open(SztConf* conf, const uint8_t* payload, uint64_t len, int3
     }
 }
 
+// ---- BioMD device-path split (f32; see ops/biomd_device.py) ------------------
+
+// frame-0 scalar atom chain: data(atoms*cols) -> bins + recon (caller buffers)
+// + unpred literals (malloc'd)
+int szt_biomd_frame0(double eb, int32_t radius, int32_t site, const float* data,
+                     uint64_t atoms, uint64_t cols, int32_t* bins, float* recon,
+                     float** unpred, uint64_t* nun, char* err, uint64_t errcap) {
+    try {
+        std::vector<float> uv;
+        biomd_frame0_encode<float>(eb, radius, site, data, atoms, cols, bins, recon, uv);
+        *unpred = static_cast<float*>(std::malloc(std::max<size_t>(1, uv.size() * 4)));
+        std::memcpy(*unpred, uv.data(), uv.size() * 4);
+        *nun = uv.size();
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// frame-0 recover chain: bins + this frame's unpred slice -> out (caller buffer)
+int szt_biomd_frame0_open(double eb, int32_t radius, int32_t site,
+                          const int32_t* bins, uint64_t atoms, uint64_t cols,
+                          const float* unpred, uint64_t nun, float* out,
+                          char* err, uint64_t errcap) {
+    try {
+        biomd_frame0_decode<float>(eb, radius, site, bins, atoms, cols, unpred, nun, out);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// precomputed bins + codec state -> ALGO_BIOMD payload (HuffmanV2 + zstd),
+// byte-identical to the host engine's compress_biomd
+int szt_biomd_seal(SztConf* conf, const int32_t* bins, uint64_t n, const float* unpred,
+                   uint64_t nun, int32_t site, uint64_t first_fill, float fill,
+                   uint64_t cap, uint8_t** out, uint64_t* out_len, char* err,
+                   uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        switch (k.N()) {
+            case 1: payload = biomd_seal<float, 1>(k, bins, n, unpred, nun, site, first_fill, fill, cap); break;
+            case 2: payload = biomd_seal<float, 2>(k, bins, n, unpred, nun, site, first_fill, fill, cap); break;
+            case 3: payload = biomd_seal<float, 3>(k, bins, n, unpred, nun, site, first_fill, fill, cap); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// ALGO_BIOMD payload -> bins (caller buffer, conf.num entries; count written
+// to *nbins) + unpred (malloc'd) + codec state
+int szt_biomd_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t* bins,
+                   uint64_t* nbins, float** unpred, uint64_t* nun, int32_t* site,
+                   uint64_t* first_fill, float* fill, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<int32_t> bv;
+        std::vector<float> uv;
+        int32_t s = 0;
+        size_t ff = 0;
+        float fv = 0;
+        switch (k.N()) {
+            case 1: biomd_open<float, 1>(k, payload, len, bv, uv, s, ff, fv); break;
+            case 2: biomd_open<float, 2>(k, payload, len, bv, uv, s, ff, fv); break;
+            case 3: biomd_open<float, 3>(k, payload, len, bv, uv, s, ff, fv); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        from_conf(k, conf);
+        std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
+        *nbins = bv.size();
+        *unpred = static_cast<float*>(std::malloc(std::max<size_t>(1, uv.size() * 4)));
+        std::memcpy(*unpred, uv.data(), uv.size() * 4);
+        *nun = uv.size();
+        *site = s;
+        *first_fill = ff;
+        *fill = fv;
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- MDZ LAMMPS in-situ hooks (reference tools/mdz/include/mdz.hpp:283-359) --
 
 int szt_lammps_compress(uint64_t frames, uint64_t atoms, double abs_eb, int32_t quantbin,

@@ -151,6 +151,23 @@ def lib() -> C.CDLL:
         l.szt_interp_seal_packed.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p,
                                              u64, u64, C.c_void_p, u64, u64, C.POINTER(u8p),
                                              C.POINTER(u64), C.c_char_p, u64]
+        l.szt_biomd_frame0.restype = C.c_int
+        l.szt_biomd_frame0.argtypes = [C.c_double, C.c_int32, C.c_int32, C.c_void_p,
+                                       u64, u64, C.c_void_p, C.c_void_p,
+                                       f32pp, C.POINTER(u64), C.c_char_p, u64]
+        l.szt_biomd_frame0_open.restype = C.c_int
+        l.szt_biomd_frame0_open.argtypes = [C.c_double, C.c_int32, C.c_int32, C.c_void_p,
+                                            u64, u64, C.c_void_p, u64, C.c_void_p,
+                                            C.c_char_p, u64]
+        l.szt_biomd_seal.restype = C.c_int
+        l.szt_biomd_seal.argtypes = [C.POINTER(SztConfC), C.c_void_p, u64, C.c_void_p, u64,
+                                     C.c_int32, u64, C.c_float, u64, C.POINTER(u8p),
+                                     C.POINTER(u64), C.c_char_p, u64]
+        l.szt_biomd_open.restype = C.c_int
+        l.szt_biomd_open.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_void_p,
+                                     C.POINTER(u64), f32pp, C.POINTER(u64),
+                                     C.POINTER(C.c_int32), C.POINTER(u64),
+                                     C.POINTER(C.c_float), C.c_char_p, u64]
         _lib = l
     return _lib
 
@@ -569,6 +586,93 @@ def blockwise_open(conf: Config, payload: bytes):
         res.append(arr)
     conf_from_c(c, conf)
     return (bins, *res)
+
+
+def biomd_frame0(eb: float, radius: int, site: int, frame: np.ndarray):
+    """Scalar frame-0 atom chain (native): (atoms, cols) f32 frame ->
+    (bins i32, recon f32, unpred f32) in scan order."""
+    frame = np.ascontiguousarray(frame, np.float32)
+    atoms, cols = frame.shape
+    bins = np.empty(atoms * cols, np.int32)
+    recon = np.empty(atoms * cols, np.float32)
+    up = C.POINTER(C.c_float)()
+    nun = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_biomd_frame0(
+        C.c_double(eb), C.c_int32(radius), C.c_int32(site),
+        frame.ctypes.data_as(C.c_void_p), C.c_uint64(atoms), C.c_uint64(cols),
+        bins.ctypes.data_as(C.c_void_p), recon.ctypes.data_as(C.c_void_p),
+        C.byref(up), C.byref(nun), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_biomd_frame0: {err.value.decode()}")
+    unpred = np.ctypeslib.as_array(up, shape=(nun.value,)).astype(np.float32, copy=True)
+    lib().szt_free(C.cast(up, C.c_void_p))
+    return bins.reshape(atoms, cols), recon.reshape(atoms, cols), unpred
+
+
+def biomd_frame0_open(eb: float, radius: int, site: int, bins: np.ndarray,
+                      unpred: np.ndarray) -> np.ndarray:
+    """Frame-0 recover chain (native): (atoms, cols) bins + that frame's
+    unpred slice -> reconstructed frame."""
+    bins = np.ascontiguousarray(bins, np.int32)
+    atoms, cols = bins.shape
+    unpred = np.ascontiguousarray(unpred, np.float32)
+    out = np.empty(atoms * cols, np.float32)
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_biomd_frame0_open(
+        C.c_double(eb), C.c_int32(radius), C.c_int32(site),
+        bins.ctypes.data_as(C.c_void_p), C.c_uint64(atoms), C.c_uint64(cols),
+        unpred.ctypes.data_as(C.c_void_p), C.c_uint64(unpred.size),
+        out.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_biomd_frame0_open: {err.value.decode()}")
+    return out.reshape(atoms, cols)
+
+
+def biomd_seal(conf: Config, bins: np.ndarray, unpred: np.ndarray, site: int,
+               first_fill: int, fill: float, cap: int) -> bytes:
+    """Device-computed BIOMD bins + codec state -> payload (HuffmanV2 + zstd),
+    byte-identical to the host engine's."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    bins = np.ascontiguousarray(bins, np.int32)
+    unpred = np.ascontiguousarray(unpred, np.float32)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_biomd_seal(
+        C.byref(c), bins.ctypes.data_as(C.c_void_p), C.c_uint64(bins.size),
+        unpred.ctypes.data_as(C.c_void_p), C.c_uint64(unpred.size),
+        C.c_int32(site), C.c_uint64(first_fill), C.c_float(fill),
+        C.c_uint64(cap), C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_biomd_seal: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
+
+
+def biomd_open(conf: Config, payload: bytes):
+    """ALGO_BIOMD payload -> (bins i32, unpred f32, site, first_fill, fill)."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    bins = np.empty(conf.num, dtype=np.int32)
+    nbins = C.c_uint64()
+    up = C.POINTER(C.c_float)()
+    nun = C.c_uint64()
+    site = C.c_int32()
+    first_fill = C.c_uint64()
+    fill = C.c_float()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_biomd_open(
+        C.byref(c), payload, C.c_uint64(len(payload)),
+        bins.ctypes.data_as(C.c_void_p), C.byref(nbins), C.byref(up),
+        C.byref(nun), C.byref(site), C.byref(first_fill), C.byref(fill),
+        err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_biomd_open: {err.value.decode()}")
+    conf_from_c(c, conf)
+    unpred = np.ctypeslib.as_array(up, shape=(nun.value,)).astype(np.float32, copy=True)
+    lib().szt_free(C.cast(up, C.c_void_p))
+    return (bins[:nbins.value], unpred, int(site.value),
+            int(first_fill.value), float(fill.value))
 
 
 def interp_order(conf: Config) -> np.ndarray:
