@@ -22,6 +22,11 @@ from sz3_tpu.ops.blockwise_device import encode_blocks
 
 from conftest import GOLDEN, synth_input
 
+# the sequential lax.scan formulation runs in XLA:CPU interpreter-speed on
+# this host (~10 min for the module) — slow tier; the wavefront path's tests
+# (test_blockwise_wavefront.py) cover the default device route quickly
+pytestmark = pytest.mark.slow
+
 
 def _field(shape, seed=0):
     rng = np.random.default_rng(seed)

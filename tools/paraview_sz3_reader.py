@@ -24,6 +24,9 @@ except ImportError:  # importable outside ParaView for linting/tests
         def __init__(self, **kw):
             pass
 
+        def Modified(self):
+            pass
+
     def _noop(*a, **k):
         def wrap(x):
             return x
