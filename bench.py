@@ -238,6 +238,8 @@ def main():
 
     bench_device_entropy(data, nbytes)
 
+    bench_wavefront_decode(data, nbytes)
+
     print(json.dumps({
         "metric": f"encode+decode GB/s ({SIZE}^3 f32, ABS {EB}, default algo)",
         "value": round(gbs, 4),
@@ -294,6 +296,68 @@ def bench_device_entropy(data, nbytes):
             f"({nbytes/compute/1e9:.2f} GB/s/chip)")
     except Exception as e:
         log("device-entropy bench skipped:", e)
+
+
+def bench_wavefront_decode(data, nbytes):
+    """LORENZO_REG decode with the element sweep as the anti-diagonal
+    wavefront scan (ops/blockwise_wavefront, the default device route for
+    f32 3D). Reports the device scan time in isolation — K chained
+    iterations inside one jit amortize per-call RPC latency — plus the
+    end-to-end walls for both engines. On remote-attached chips the full
+    decode wall is dominated by the ~0.02 GB/s tunnel D2H of the skewed
+    slab (~3x the field for cubes); a locally attached chip pays PCIe."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import sz3_tpu as szt
+        from sz3_tpu import runtime
+        from sz3_tpu.config import ALGO, Config
+        from sz3_tpu.ops import blockwise_wavefront as wf
+
+        conf = Config(dims=data.shape, cmprAlgo=ALGO.LORENZO_REG,
+                      absErrorBound=EB)
+        blob = szt.compress(data, conf.copy(), backend="native")
+        t = time.time()
+        szt.decompress(blob)
+        host_dec = time.time() - t
+        t = time.time()
+        szt.decompress(blob, backend="jax")
+        wall = time.time() - t
+
+        # isolate the device scan: K chained sweeps in one program
+        from sz3_tpu.api import _HDR
+        from sz3_tpu.config import Config as _Cfg
+        _, _, psize = _HDR.unpack_from(blob, 0)
+        work, _ = _Cfg.load(blob, 16 + psize)
+        streams = runtime.blockwise_open(work, blob[16:16 + psize])
+        run, S0, bins_s, lit_s, type_s, _ = wf.prepare_wavefront(
+            work.dims, work.absErrorBound, work.quantbinCnt // 2,
+            work.lorenzo, work.lorenzo2, work.regression, *streams)
+        core = run.__wrapped__
+        K = 5
+
+        @jax.jit
+        def run_k(S0, b, l, ty):
+            def body(i, acc):
+                S = core(S0 + acc * jnp.float32(1e-30), b, l, ty)
+                return acc + S[wf.LEAD, 2, 2]
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+        args = [jax.device_put(jnp.asarray(a))
+                for a in (S0, bins_s, lit_s, type_s)]
+        float(np.asarray(run_k(*args)))  # compile+warm
+        ts = []
+        for _ in range(REPS):
+            t = time.time()
+            float(np.asarray(run_k(*args)))
+            ts.append(time.time() - t)
+        scan_t = min(ts) / K
+        shp = "x".join(map(str, data.shape))
+        log(f"TPU wavefront LORENZO_REG decode ({shp}): device scan "
+            f"{scan_t*1e3:.1f} ms -> {nbytes/scan_t/1e9:.2f} GB/s/chip; "
+            f"end-to-end wall {wall:.2f}s (host engine {host_dec:.2f}s)")
+    except Exception as e:
+        log("wavefront decode bench skipped:", e)
 
 
 def bench_chunked(data, nthreads, nbytes):

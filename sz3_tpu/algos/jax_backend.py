@@ -193,11 +193,14 @@ def _biomd_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
 
 
 def _device_blockwise_mode() -> str:
-    """SZT_DEVICE_BLOCKWISE: 0 (default — host engine; the device sweep is
-    the correctness-first lax.scan formulation, see ops/blockwise_device.py),
-    1 (force the device path for ALGO_LORENZO_REG)."""
+    """SZT_DEVICE_BLOCKWISE: auto (default — decode runs the device
+    anti-diagonal wavefront for f32 3D, ops/blockwise_wavefront.py; encode
+    stays on the host engine, whose sweep the format serializes — see
+    ARCHITECTURE.md), 1 (force the lax.scan device formulation BOTH
+    directions, ops/blockwise_device.py — parity tests), 0 (host engine
+    only)."""
     import os
-    return os.environ.get("SZT_DEVICE_BLOCKWISE", "0")
+    return os.environ.get("SZT_DEVICE_BLOCKWISE", "auto")
 
 
 def _blockwise_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
@@ -215,6 +218,19 @@ def _blockwise_decode_payload(conf: Config, payload: bytes) -> np.ndarray:
     return decode_blocks(conf.dims, conf.absErrorBound, conf.quantbinCnt // 2,
                          conf.lorenzo, conf.lorenzo2, conf.regression,
                          bins, sel, regb, qlu, qiu, unp)
+
+
+def _blockwise_decode_wavefront(conf: Config, payload: bytes) -> np.ndarray:
+    """LORENZO_REG decode with the element sweep as an anti-diagonal
+    wavefront (ops/blockwise_wavefront.py) — the default device decode for
+    f32 3D. The entropy open and the sequential coefficient chain run in the
+    native engine."""
+    from ..ops.blockwise_wavefront import decode_blocks_wavefront
+    bins, sel, regb, qlu, qiu, unp = runtime.blockwise_open(conf, payload)
+    return decode_blocks_wavefront(
+        conf.dims, conf.absErrorBound, conf.quantbinCnt // 2,
+        conf.lorenzo, conf.lorenzo2, conf.regression,
+        bins, sel, regb, qlu, qiu, unp)
 
 
 def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
@@ -297,8 +313,12 @@ def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarr
         return _nopred_decode_payload(conf, payload, dt).reshape(conf.dims)
     if conf.cmprAlgo == ALGO.BIOMD and dt == np.float32 and len(conf.dims) == 3:
         return _biomd_decode_payload(conf, payload, dt).reshape(conf.dims)
-    if (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
-            and dt == np.float32 and len(conf.dims) == 3):
-        return _blockwise_decode_payload(conf, payload).reshape(conf.dims)
+    if (conf.cmprAlgo == ALGO.LORENZO_REG and dt == np.float32
+            and len(conf.dims) == 3):
+        mode = _device_blockwise_mode()
+        if mode == "1":   # the sequential-scan formulation (parity tests)
+            return _blockwise_decode_payload(conf, payload).reshape(conf.dims)
+        if mode != "0":   # default: anti-diagonal wavefront on device
+            return _blockwise_decode_wavefront(conf, payload).reshape(conf.dims)
     return runtime.decompress_payload(conf, payload,
                                       dtype=runtime.np_dtype_id(np.empty(0, dtype=dt)))

@@ -856,6 +856,34 @@ int szt_blockwise_open(SztConf* conf, const uint8_t* payload, uint64_t len, int3
     }
 }
 
+// Coefficient-chain replay for the device blockwise decode
+// (ops/blockwise_wavefront.py): reconstructed regression coefficients per
+// committing block, in row-major commit order. The chain is the format's one
+// truly sequential decode dependency (reference RegressionPredictor.hpp:157-164
+// pred = previous committed block's reconstructed coefficient) — a few scalar
+// f64 ops per block, so it replays here while the element sweep runs as a
+// parallel wavefront on device. eb_ql/eb_qi are the linear/intercept
+// quantizer bounds (eb/(N+1)/blockSize and eb/(N+1), blockwise.hpp:111-112).
+int szt_blockwise_coef_chain(double eb_ql, double eb_qi, uint64_t ncommit,
+                             const int32_t* regb, const float* ql_lit, uint64_t nql,
+                             const float* qi_lit, uint64_t nqi, float* out,
+                             char* err, uint64_t errcap) {
+    try {
+        LinearQuantizer<float> ql(eb_ql), qi(eb_qi);
+        ql.unpred.assign(ql_lit, ql_lit + nql);
+        qi.unpred.assign(qi_lit, qi_lit + nqi);
+        float prev[4] = {0, 0, 0, 0};
+        for (uint64_t b = 0; b < ncommit; b++) {
+            for (int k = 0; k < 3; k++) prev[k] = ql.recover(prev[k], regb[b * 4 + k]);
+            prev[3] = qi.recover(prev[3], regb[b * 4 + 3]);
+            std::memcpy(out + b * 4, prev, 4 * sizeof(float));
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- BioMD device-path split (f32; see ops/biomd_device.py) ------------------
 
 // frame-0 scalar atom chain: data(atoms*cols) -> bins + recon (caller buffers)

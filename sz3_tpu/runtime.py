@@ -151,6 +151,10 @@ def lib() -> C.CDLL:
         l.szt_interp_seal_packed.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p,
                                              u64, u64, C.c_void_p, u64, u64, C.POINTER(u8p),
                                              C.POINTER(u64), C.c_char_p, u64]
+        l.szt_blockwise_coef_chain.restype = C.c_int
+        l.szt_blockwise_coef_chain.argtypes = [C.c_double, C.c_double, u64, C.c_void_p,
+                                               C.c_void_p, u64, C.c_void_p, u64,
+                                               C.c_void_p, C.c_char_p, u64]
         l.szt_biomd_frame0.restype = C.c_int
         l.szt_biomd_frame0.argtypes = [C.c_double, C.c_int32, C.c_int32, C.c_void_p,
                                        u64, u64, C.c_void_p, C.c_void_p,
@@ -586,6 +590,27 @@ def blockwise_open(conf: Config, payload: bytes):
         res.append(arr)
     conf_from_c(c, conf)
     return (bins, *res)
+
+
+def blockwise_coef_chain(eb_ql: float, eb_qi: float, regb: np.ndarray,
+                         ql_lit: np.ndarray, qi_lit: np.ndarray) -> np.ndarray:
+    """Replay the sequential regression coefficient chain (native):
+    regb (ncommit, 4) bins + the two literal streams -> reconstructed
+    coefficients (ncommit, 4) f32 in commit order."""
+    regb = np.ascontiguousarray(regb, np.int32).reshape(-1, 4)
+    ql_lit = np.ascontiguousarray(ql_lit, np.float32)
+    qi_lit = np.ascontiguousarray(qi_lit, np.float32)
+    out = np.empty((regb.shape[0], 4), np.float32)
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_blockwise_coef_chain(
+        C.c_double(eb_ql), C.c_double(eb_qi), C.c_uint64(regb.shape[0]),
+        regb.ctypes.data_as(C.c_void_p),
+        ql_lit.ctypes.data_as(C.c_void_p), C.c_uint64(ql_lit.size),
+        qi_lit.ctypes.data_as(C.c_void_p), C.c_uint64(qi_lit.size),
+        out.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_blockwise_coef_chain: {err.value.decode()}")
+    return out
 
 
 def biomd_frame0(eb: float, radius: int, site: int, frame: np.ndarray):
