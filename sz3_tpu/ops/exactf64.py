@@ -72,6 +72,27 @@ def _flog2_i64(v):
     return jnp.where(use_hi, e + I32(32), e)
 
 
+def _flog2_i32(v):
+    """floor(log2(v)) for v in [1, 2^30) (int64 input, value fits int32).
+    One f32 exponent extract + one round-up guard — no 64-bit word split, no
+    clip: much cheaper than _flog2_i64 on int32-pair TPU lanes."""
+    w = v.astype(jnp.int32)
+    f = w.astype(jnp.float32)
+    fb = jax.lax.bitcast_convert_type(f, jnp.int32)
+    e = ((fb >> I32(23)) & I32(255)) - I32(127)
+    # f32 conversion may round up across a power of two (e <= 30 here)
+    return e - ((I32(1) << e) > w)
+
+
+def _norm53_small(m, e):
+    """Normalize m*2^e with m in [0, 2^30) to (M53 in [2^52,2^53), E) by an
+    EXACT left shift (no rounding, no sticky): the cheap _norm53 for f32
+    mantissas (<= 2^24) and small integer products. M53 == 0 for m == 0."""
+    lg = _flog2_i32(jnp.maximum(m, I64(1)))
+    sh = (I32(52) - lg).astype(I64)
+    return jnp.where(m == 0, I64(0), m << sh), e - I32(52) + lg
+
+
 def _f32_decompose(x):
     """x (f32 array) -> (neg bool, m int64, e int32, finite bool) with
     |x| = m * 2^e exactly (m == 0 for zeros; subnormals handled)."""
@@ -128,22 +149,28 @@ def _norm53(M, E, sticky):
 
 
 def _mul_m24_m53(m, e, M53: int, E53: int):
-    """Exactly-rounded f64 product of m*2^e (m int64 <= 2^24, variable) and a
-    HOST-CONSTANT M53*2^E53 (M53 in [2^52,2^53)). Returns (P53, E) with value
-    = P53 * 2^E, P53 in [2^52, 2^53) (or 0)."""
+    """Exactly-rounded f64 product of m*2^e (m int64 in [0, 2^24], variable)
+    and a HOST-CONSTANT M53*2^E53 (M53 in [2^52,2^53)). Returns (P53, E) with
+    value = P53 * 2^E, P53 in [2^52, 2^53) (or 0). Callers pass f32 mantissas
+    (<= 2^24) or quantizer integers (<= quantbinCnt; guarded at the entry
+    points)."""
     r_hi = I64(M53 >> 26)            # <= 2^27
     r_lo = I64(M53 & ((1 << 26) - 1))
     # normalize m to 24 bits so the product width is static-ish
-    lg = _flog2_i64(jnp.maximum(m, I64(1)))
-    up = jnp.clip(I32(23) - lg, 0, 63).astype(I64)
-    mn = m << up
-    en = e - up.astype(I32)
+    lg = _flog2_i32(jnp.maximum(m, I64(1)))
+    up = (I32(23) - lg).astype(I64)   # >= 0 for m <= 2^24 (lg(2^24) = 24 only
+    # at m == 2^24 exactly, where up == -1 shifts right losing nothing: the
+    # low bit is 0) — jnp shift by -1 is undefined, so clamp and drop a
+    # trailing zero explicitly
+    mn = jnp.where(lg > I32(23), m >> I64(1), m << jnp.maximum(up, I64(0)))
+    en = jnp.where(lg > I32(23), e + I32(1), e - jnp.maximum(up, I64(0)).astype(I32))
     p1 = mn * r_hi                    # <= 2^51
     p2 = mn * r_lo                    # <= 2^50
     P_hi = p1 + (p2 >> I64(26))       # <= 2^51 + 2^25
     P_lo = p2 & I64((1 << 26) - 1)
-    # P = P_hi*2^26 + P_lo, in [2^75, 2^77) for mn in [2^23,2^24)
-    lgP = _flog2_i64(P_hi) + I32(26)
+    # P = P_hi*2^26 + P_lo, in [2^75, 2^77) for mn in [2^23,2^24):
+    # P_hi in [2^49, 2^51 + 2^25) -> its floor(log2) is 49 or 50 (one compare)
+    lgP = I32(49) + (P_hi >= (I64(1) << I64(50))) + I32(26)
     drop = lgP - I32(52)              # 23 or 24
     dl = drop.astype(I64)
     R = (P_hi << (I64(26) - dl)) | (P_lo >> dl)
@@ -158,16 +185,12 @@ def _mul_m24_m53(m, e, M53: int, E53: int):
 
 
 def _add_signed(negA, MA, EA, negB, MB, EB):
-    """Exactly-rounded f64 sum of two magnitudes MA*2^EA, MB*2^EB (M53 form
-    or smaller, >= 0) with signs. Returns (neg, M53, E)."""
-    # order so that (M1,E1) has the larger magnitude (compare by (E+lg, M<<))
-    lgA = _flog2_i64(jnp.maximum(MA, I64(1)))
-    lgB = _flog2_i64(jnp.maximum(MB, I64(1)))
-    keyA = EA + lgA
-    keyB = EB + lgB
-    mag_ge = (keyA > keyB) | ((keyA == keyB) & (
-        (MA << jnp.clip(I32(53) - lgA, 0, 63).astype(I64)) >=
-        (MB << jnp.clip(I32(53) - lgB, 0, 63).astype(I64))))
+    """Exactly-rounded f64 sum of two magnitudes MA*2^EA, MB*2^EB with signs.
+    PRECONDITION: each M is normalized to [2^52, 2^53) or zero (every caller
+    passes _norm53/_norm53_small/_mul_m24_m53 outputs), so the magnitude
+    order is the lexicographic (E, M) compare — no per-lane log2/shifts.
+    Returns (neg, M53, E)."""
+    mag_ge = (EA > EB) | ((EA == EB) & (MA >= MB))
     a_big = (MB == 0) | ((MA != 0) & mag_ge)
     M1 = jnp.where(a_big, MA, MB)
     E1 = jnp.where(a_big, EA, EB)
@@ -232,6 +255,8 @@ def quantize_exact(data, pred, eb: float, radius: int):
     """Bit-exact replica of LinearQuantizer::quantize_and_overwrite for f32
     data with IEEE-double internals (reference LinearQuantizer.hpp:43-71),
     built on integer ops only. Returns (bins int32, recon f32)."""
+    if 2 * radius > (1 << 24):  # _mul_m24_m53 precondition (q <= 2^24)
+        raise NotImplementedError("exact-f64 path requires quantbinCnt <= 2^24")
     recip = float(np.float64(1.0) / np.float64(eb))
     _, Mr, Er = f64_parts(recip)
     _, Me, Ee = f64_parts(eb)
@@ -256,7 +281,7 @@ def quantize_exact(data, pred, eb: float, radius: int):
     # dec = f32(round53(pred + round53(q * eb))), q = +-qe
     Pv, Ev = _mul_m24_m53(qe.astype(I64), I32(0), Me, Ee)
     pneg, pm, pe, pfin = _f32_decompose(pred)
-    pm53, pe53 = _norm53(pm, pe, jnp.zeros_like(dneg))
+    pm53, pe53 = _norm53_small(pm, pe)
     sneg, Ms, Es2 = _add_signed(pneg, pm53, pe53, dneg, Pv, Ev)
     dec = _narrow_f32(sneg, Ms, Es2)
 
@@ -279,12 +304,14 @@ def quantize_exact(data, pred, eb: float, radius: int):
 def recover_exact(pred, bins, literal, eb: float, radius: int):
     """Bit-exact recover: pred + 2*(bin-radius)*eb through f64
     (LinearQuantizer.hpp:74-86)."""
+    if 2 * radius > (1 << 24):  # _mul_m24_m53 precondition (|q| <= 2^24)
+        raise NotImplementedError("exact-f64 path requires quantbinCnt <= 2^24")
     _, Me, Ee = f64_parts(eb)
     q = 2 * (bins - I32(radius))
     qneg = q < 0
     Pv, Ev = _mul_m24_m53(jnp.abs(q).astype(I64), I32(0), Me, Ee)
     pneg, pm, pe, _ = _f32_decompose(pred)
-    pm53, pe53 = _norm53(pm, pe, jnp.zeros_like(qneg))
+    pm53, pe53 = _norm53_small(pm, pe)
     sneg, Ms, Es2 = _add_signed(pneg, pm53, pe53, qneg, Pv, Ev)
     dec = _narrow_f32(sneg, Ms, Es2)
     return jnp.where(bins != 0, dec, literal)
@@ -297,9 +324,9 @@ def linear1_exact(a, b):
     aneg, am, ae, _ = _f32_decompose(a)
     bneg, bm, be, _ = _f32_decompose(b)
     # -0.5*a: magnitude am * 2^(ae-1), flipped sign. 1.5*b: 3*bm * 2^(be-1).
-    am53, ae53 = _norm53(am, ae - I32(1), jnp.zeros_like(aneg))
+    am53, ae53 = _norm53_small(am, ae - I32(1))
     bm3 = bm * I64(3)
-    bm53, be53 = _norm53(bm3, be - I32(1), jnp.zeros_like(bneg))
+    bm53, be53 = _norm53_small(bm3, be - I32(1))  # bm3 < 2^26
     sneg, Ms, Es = _add_signed(~aneg & (am != 0), am53, ae53, bneg, bm53, be53)
     # sign of -0.5a: flip unless a == 0
     return _narrow_f32(sneg, Ms, Es)

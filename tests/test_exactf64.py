@@ -192,3 +192,91 @@ def test_linear1_matches_f64():
         got = np.asarray(linear1_exact(jnp.asarray(a), jnp.asarray(b)))
         assert np.array_equal(got.view(np.int32), ref.view(np.int32)), \
             np.nonzero(got.view(np.int32) != ref.view(np.int32))[0][:5]
+
+
+def test_flog2_i32_exhaustive_boundaries():
+    """The cheap 32-bit floor(log2) (round-3 specialization): exhaustive over
+    [1, 2^17) plus every +-2 neighborhood of a power of two up to 2^26 (the
+    f32-conversion round-up guard territory: integers >= 2^24 convert
+    inexactly and can round up across the power)."""
+    from sz3_tpu.ops.exactf64 import _flog2_i32
+    vals = list(range(1, 1 << 17))
+    for k in range(17, 27):
+        for d in (-2, -1, 0, 1, 2):
+            v = (1 << k) + d
+            if 1 <= v < (1 << 27):
+                vals.append(v)
+    vals = np.array(sorted(set(vals)), np.int64)
+    got = np.asarray(_flog2_i32(jnp.asarray(vals)))
+    want = np.array([int(v).bit_length() - 1 for v in vals], np.int32)
+    assert np.array_equal(got, want), vals[got != want][:10]
+
+
+def test_norm53_small_exact():
+    """_norm53_small must left-shift exactly (no rounding path) for any
+    m < 2^30, including zero and subnormal-width mantissas."""
+    from sz3_tpu.ops.exactf64 import _norm53_small
+    rng = np.random.default_rng(11)
+    m = np.concatenate([
+        np.array([0, 1, 2, 3, (1 << 23) - 1, 1 << 23, (1 << 24) - 1,
+                  1 << 24, 3 * ((1 << 24) - 1)], np.int64),
+        rng.integers(1, 1 << 26, 4096).astype(np.int64)])
+    e = rng.integers(-140, 100, m.size).astype(np.int32)
+    M, E = _norm53_small(jnp.asarray(m), jnp.asarray(e))
+    M, E = np.asarray(M), np.asarray(E)
+    for i in range(m.size):
+        if m[i] == 0:
+            assert M[i] == 0
+            continue
+        lg = int(m[i]).bit_length() - 1
+        assert int(M[i]) == int(m[i]) << (52 - lg)
+        assert int(E[i]) == int(e[i]) - (52 - lg)
+        assert (1 << 52) <= int(M[i]) < (1 << 53)
+
+
+def test_radius_2pow23_and_guard():
+    """radius = 2^23 drives qe to exactly 2^24 on clamped lanes (the
+    _mul_m24_m53 m == 2^24 edge); anything larger must raise rather than
+    silently misround."""
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal(1 << 12).astype(np.float32)
+    pred = np.zeros_like(data)
+    _check(data, pred, 1e-5, radius=1 << 23)
+    with pytest.raises(NotImplementedError):
+        quantize_exact(jnp.asarray(data), jnp.asarray(pred), 1e-5,
+                       (1 << 23) + 1)
+    with pytest.raises(NotImplementedError):
+        recover_exact(jnp.asarray(pred), jnp.zeros(data.size, jnp.int32),
+                      jnp.asarray(data), 1e-5, (1 << 23) + 1)
+
+
+def test_add_signed_lexicographic_ties():
+    """The round-3 _add_signed relies on its inputs being normalized M53 (or
+    zero): magnitude ordering is then the (E, M) lexicographic compare. Probe
+    exact ties, +-1 ulp around ties, and zero operands on both sides."""
+    from sz3_tpu.ops.exactf64 import _add_signed, _narrow_f32
+    M0 = 1 << 52
+    cases = [  # (MA, EA, MB, EB)
+        (M0, 0, M0, 0),            # exact tie -> cancels to zero
+        (M0 + 1, 0, M0, 0),        # 1-ulp difference
+        (M0, 0, M0 + 1, 0),
+        (M0, 1, (1 << 53) - 1, 0),  # EA > EB but close magnitudes
+        ((1 << 53) - 1, 0, M0, 1),
+        (0, 0, M0, 0),             # zero A (E field garbage-insensitive)
+        (M0, 0, 0, 0),
+        (0, 5, 0, -5),             # both zero
+    ]
+    MA = np.array([c[0] for c in cases], np.int64)
+    EA = np.array([c[1] for c in cases], np.int32)
+    MB = np.array([c[2] for c in cases], np.int64)
+    EB = np.array([c[3] for c in cases], np.int32)
+    for negA in (False, True):
+        for negB in (False, True):
+            neg, M, E = _add_signed(
+                jnp.full(len(cases), negA), jnp.asarray(MA), jnp.asarray(EA),
+                jnp.full(len(cases), negB), jnp.asarray(MB), jnp.asarray(EB))
+            got = np.asarray(_narrow_f32(neg, M, E)).astype(np.float64)
+            a = MA.astype(np.float64) * np.exp2(EA) * (-1 if negA else 1)
+            b = MB.astype(np.float64) * np.exp2(EB) * (-1 if negB else 1)
+            want = (a + b).astype(np.float32).astype(np.float64)
+            assert np.array_equal(got, want), (negA, negB, got, want)
