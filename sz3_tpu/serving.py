@@ -74,6 +74,102 @@ def _jit_encode_batch_dynamic(dims, interp_algo, direction, anchor_stride, alpha
     return plan, jax.jit(jax.vmap(one))
 
 
+def _device_entropy_route(base: Config) -> bool:
+    """Serving uses the device-resident entropy stage (archive bytes produced
+    on-chip, ops/entropy_device.py) when the backend routes it: the same
+    auto/1/0 policy as single-field encode (jax_backend._device_entropy_mode).
+    Only the static-ABS bound qualifies — the device program's code tables
+    are built per field on the host, but the quantize schedule must be
+    compile-time (range-relative modes trace eb and would recompile per
+    field)."""
+    import os
+
+    import jax
+    from .config import EB
+    mode = os.environ.get("SZT_DEVICE_ENTROPY", "auto")
+    if mode == "0" or base.errorBoundMode != EB.ABS:
+        return False
+    pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+    return mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu")
+
+
+def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
+                                   depth: int = 3) -> List[bytes]:
+    """Pipelined device-entropy serving: the per-field device programs (jit A
+    quantize+layout+histogram, jit B pack+splice) are dispatched ahead of the
+    host stages, so the host Huffman-tree build and the zstd/framing of field
+    i overlap the device compute of fields i+1..i+depth. JAX dispatch is
+    async — the pipeline needs no threads, only dispatch-before-force
+    ordering. `depth` bounds device-resident intermediates (~5x field bytes
+    per in-flight field)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .algos import device_encode as de
+    from .api import compress as _compress
+    from .ops.interp_fast import _maybe_on, exec_device
+
+    b = stack.shape[0]
+    dims = tuple(base.dims)
+    num = int(np.prod(dims))
+    cap = compress_size_bound(base, stack.dtype.itemsize)
+    plan, lp, jits = de._static(dims, int(base.interpAlgo),
+                                base.interpDirection, base.interpAnchorStride,
+                                base.interpAlpha, base.interpBeta,
+                                base.absErrorBound, base.quantbinCnt,
+                                str(stack.dtype))
+    if lp is None:
+        raise de._fall("no anchor grid")
+    jit_a, jit_b, nc, mp, cap_rows = jits
+
+    import struct
+    hdr = struct.Struct("<IIQ")
+    ver = version_int((3, 3, 2))
+    out: List[bytes] = [b""] * b
+    dev = exec_device()
+    with _maybe_on(dev):
+        a_q = {}     # i -> jit A outputs (device values, dispatched)
+        b_q = {}     # i -> (tree, total_bits, n_lit, lits, words)
+        nxt_a = 0
+
+        def pump_a():
+            nonlocal nxt_a
+            while nxt_a < b and len(a_q) + len(b_q) < depth:
+                x = jnp.asarray(np.ascontiguousarray(stack[nxt_a]))
+                a_q[nxt_a] = jit_a(x)
+                nxt_a += 1
+
+        pump_a()
+        for i in range(b):
+            bins_stream, hist, lits, nlit = a_q.pop(i)
+            try:
+                # forces hist/nlit (tiny); device continues with queued work
+                tree, total_bits, n_lit, tc, tl, c0 = de._tree_and_tables(
+                    hist, nlit, cap_rows, base.quantbinCnt, num)
+            except de.Fallback:
+                out[i] = _compress(stack[i], base.copy(), backend="jax")
+                pump_a()
+                continue
+            words, _ = jit_b(bins_stream, tc, tl, c0)   # dispatched async
+            b_q[i] = (tree, total_bits, n_lit, lits, words)
+            pump_a()
+            # drain: force the OLDEST packed stream once newer device work is
+            # queued, then do the host zstd while the device runs ahead
+            while b_q and (len(b_q) >= 2 or i == b - 1):
+                j = min(b_q)
+                tree_j, tb_j, nl_j, lits_j, words_j = b_q.pop(j)
+                bits = de._stream_bytes(words_j, tb_j)
+                unpred = de._literals(lits_j, nl_j, stack.dtype)
+                c = base.copy()
+                payload = runtime.interp_seal_packed(c, tree_j, bits, tb_j,
+                                                     num, unpred, cap)
+                out[j] = hdr.pack(SZ3_MAGIC_NUMBER, ver, len(payload)) \
+                    + payload + c.save()
+                pump_a()
+    return out
+
+
 def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[bytes]:
     """Compress a [B, *dims] stack of same-shape fields.
 
@@ -110,6 +206,12 @@ def compress_batch(fields: np.ndarray, conf: Optional[Config] = None) -> List[by
 
     dims = tuple(base.dims)
     stack = np.ascontiguousarray(fields.reshape((b,) + dims))
+    if _device_entropy_route(base):
+        from .algos import device_encode as de
+        try:
+            return _compress_batch_device_entropy(stack, base)
+        except de.Fallback:
+            pass  # counted in de.fallback_counts; bins-readback path below
     ebs = None
     if base.errorBoundMode == EB.ABS:
         plan, run_b = _jit_encode_batch(dims, int(base.interpAlgo), base.interpDirection,

@@ -124,3 +124,51 @@ class TestDynamicModeBatch:
                 c2.interpAnchorStride = 32
                 assert blobs[i] == szt.compress(f, c2, backend="jax")
             assert out.shape == fields.shape
+
+
+class TestServingDeviceEntropy:
+    """Pipelined device-entropy serving (round 3): archive bytes produced
+    on-chip per field, host tree/zstd overlapped with device compute of the
+    fields behind it. Byte-identical to single-field compression."""
+
+    def test_device_entropy_batch_matches_single(self, monkeypatch):
+        """Byte parity with single-field native compression, via the
+        pipelined path (spy asserts the route), plus stack round-trip."""
+        monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")
+        import sz3_tpu.serving as sv
+        called = {}
+        orig = sv._compress_batch_device_entropy
+
+        def spy(*a, **k):
+            called["hit"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sv, "_compress_batch_device_entropy", spy)
+        fields = stack(b=5, n=40, seed=3)
+        conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP,
+                      absErrorBound=1e-3)
+        conf.interpAnchorStride = 32
+        blobs = compress_batch(fields, conf)
+        assert called.get("hit")
+        out = decompress_batch(blobs)
+        assert np.abs(out - fields).max() <= 1e-3 * 1.0000001
+        monkeypatch.setenv("SZT_DEVICE_ENTROPY", "0")
+        for i in range(5):
+            single = szt.compress(fields[i], conf.copy(), backend="native")
+            assert blobs[i] == single, f"field {i} differs"
+
+    def test_fallback_field_still_sealed(self, monkeypatch):
+        """A field whose symbols leave the device window (here: a huge-range
+        spike field at a tiny eb) falls back per batch without corrupting the
+        others."""
+        monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")
+        fields = stack(b=2, n=24, seed=1)
+        fields[1, 3, 4, 5] = 1e9  # forces unpredictable/extreme symbols
+        conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP,
+                      absErrorBound=1e-6)
+        conf.interpAnchorStride = 16
+        blobs = compress_batch(fields, conf)
+        monkeypatch.setenv("SZT_DEVICE_ENTROPY", "0")
+        for i in range(2):
+            single = szt.compress(fields[i], conf.copy(), backend="native")
+            assert blobs[i] == single
