@@ -168,6 +168,44 @@ def decode_payload_device_biomd(conf: Config, payload: bytes,
     return out
 
 
+def decode_payload_device_biomdxtc(conf: Config, payload: bytes,
+                                   dtype) -> np.ndarray:
+    """ALGO_BIOMDXTC payload -> array: native XTC triplet decode to stored
+    bins, then the vectorized recover (one product per cell, pred == 0) on
+    device (ops/xtc_device.py; reference biomd.hpp:266-276)."""
+    if np.dtype(dtype) != np.float32:
+        raise _fall("biomdxtc device path is f32-only")
+    from ..ops.interp_fast import _maybe_on, exec_device
+    from ..ops.xtc_device import XTC_RADIUS, xtc_recover
+
+    stored, unpred, first_fill, fill = runtime.biomdxtc_open(conf, payload)
+    literal = np.zeros(stored.size, np.float32)
+    nlit = int((stored == -XTC_RADIUS).sum())
+    if nlit != unpred.size:
+        raise _fall(f"biomdxtc literal count {nlit} != stream {unpred.size}")
+    if nlit:
+        literal[stored == -XTC_RADIUS] = unpred
+    dev = exec_device()
+    with _maybe_on(dev):
+        rec = np.asarray(xtc_recover(jnp.asarray(stored),
+                                     jnp.asarray(literal),
+                                     float(conf.absErrorBound)))
+    dims = conf.dims
+    if len(dims) == 3:
+        out = np.empty(tuple(dims), np.float32)
+        fstride = dims[1] * dims[2]
+        last = min(dims[0], first_fill)
+        if rec.size != last * fstride:
+            raise _fall(f"biomdxtc bins {rec.size} != live {last * fstride}")
+        out.reshape(-1)[:rec.size] = rec
+        if last < dims[0]:
+            out[last:] = fill
+        return out
+    if rec.size != conf.num:
+        raise _fall(f"biomdxtc bins {rec.size} != num {conf.num}")
+    return rec.reshape(tuple(dims))
+
+
 @lru_cache(maxsize=16)
 def _nopred_finish(num, eb, quantbin_cnt, dtype_name):
     from ..ops.quantize import recover

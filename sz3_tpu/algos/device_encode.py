@@ -314,3 +314,32 @@ def encode_payload_device_biomd(conf: Config, data, cap: int) -> bytes:
     bins[acols:last * acols] = bins_rest.ravel()
     unpred = np.concatenate([unpred0, unpred_rest.astype(np.float32)])
     return runtime.biomd_seal(conf, bins, unpred, site, first_fill, fill, cap)
+
+
+def encode_payload_device_biomdxtc(conf: Config, data, cap: int) -> bytes:
+    """ALGO_BIOMDXTC with the decomposition on-device: one vectorized
+    quantize-vs-zero at the XTC radius (ops/xtc_device.py; reference
+    biomd.hpp:245-264 BioMDXtcCodec::compress — no recurrence at all). The
+    XTC triplet coder seals in the native engine (sequential byte format,
+    cost ~ compressed size)."""
+    data = np.asarray(data)
+    if data.dtype != np.float32:
+        raise _fall("biomdxtc device path is f32-only")
+    from ..ops import biomd_device as bd
+    from ..ops.interp_fast import _maybe_on, exec_device
+    from ..ops.xtc_device import XTC_RADIUS, xtc_quantize
+
+    data = np.ascontiguousarray(data.reshape(conf.dims))
+    if len(conf.dims) == 3:
+        first_fill, fill = bd.find_fill(data)
+        last = min(conf.dims[0], first_fill)
+        live = data[:last].ravel()
+    else:
+        first_fill, fill = 0, 0.0
+        live = data.ravel()
+    with _maybe_on(exec_device()):
+        stored = np.asarray(xtc_quantize(jnp.asarray(live),
+                                         float(conf.absErrorBound)))
+    unpred = live[stored == -XTC_RADIUS]
+    return runtime.biomdxtc_seal(conf, stored, unpred, first_fill,
+                                 np.float32(fill), cap)

@@ -192,6 +192,47 @@ def _biomd_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
         conf, payload, dtype=runtime.np_dtype_id(np.empty(0, dtype=dtype)))
 
 
+def _biomdxtc_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
+    """ALGO_BIOMDXTC with the elementwise XTC-radius quantize on-device
+    (ops/xtc_device.py); host engine on fallback. The XTC triplet coder is
+    the native engine either way."""
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_encode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_encode.encode_payload_device_biomdxtc(conf, data, cap)
+            except device_encode.Fallback:
+                pass
+    return runtime.compress_payload(conf, data, cap)
+
+
+def _biomdxtc_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
+    """ALGO_BIOMDXTC decode with the vectorized recover on-device; host
+    engine on fallback."""
+    mode = _device_entropy_mode()
+    if mode != "0":
+        import jax
+
+        from . import device_decode
+        import os
+        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
+        if mode == "1" or (mode == "auto" and not pinned_cpu
+                           and jax.default_backend() == "tpu"):
+            try:
+                return device_decode.decode_payload_device_biomdxtc(
+                    conf, payload, dtype)
+            except device_decode.Fallback:
+                pass
+    return runtime.decompress_payload(
+        conf, payload, dtype=runtime.np_dtype_id(np.empty(0, dtype=dtype)))
+
+
 def _device_blockwise_mode() -> str:
     """SZT_DEVICE_BLOCKWISE: auto (default — decode runs the device
     anti-diagonal wavefront for f32 3D, ops/blockwise_wavefront.py; encode
@@ -276,6 +317,15 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
                 raise
             conf.cmprAlgo = ALGO.LOSSLESS
             return runtime.zstd_compress(data.tobytes())
+    elif conf.cmprAlgo == ALGO.BIOMDXTC and data.dtype == np.float32:
+        # XTC bypass container — no zstd-ratio fallback (SZAlgoBioMD.hpp:46-48)
+        try:
+            return _biomdxtc_encode_payload(conf, data, cap)
+        except RuntimeError as e:
+            if "buffer too small" not in str(e):
+                raise
+            conf.cmprAlgo = ALGO.LOSSLESS
+            return runtime.zstd_compress(data.tobytes())
     elif (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
           and data.dtype == np.float32 and len(conf.dims) == 3):
         try:
@@ -313,6 +363,8 @@ def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarr
         return _nopred_decode_payload(conf, payload, dt).reshape(conf.dims)
     if conf.cmprAlgo == ALGO.BIOMD and dt == np.float32 and len(conf.dims) == 3:
         return _biomd_decode_payload(conf, payload, dt).reshape(conf.dims)
+    if conf.cmprAlgo == ALGO.BIOMDXTC and dt == np.float32:
+        return _biomdxtc_decode_payload(conf, payload, dt).reshape(conf.dims)
     if (conf.cmprAlgo == ALGO.LORENZO_REG and dt == np.float32
             and len(conf.dims) == 3):
         mode = _device_blockwise_mode()

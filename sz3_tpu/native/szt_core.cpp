@@ -972,6 +972,108 @@ int szt_biomd_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t*
     }
 }
 
+}  // extern "C" — the seal/open templates below need C++ linkage
+
+namespace {
+
+// precomputed stored bins (already offset by -kXtcRadius) -> ALGO_BIOMDXTC
+// payload, byte-identical to compress_biomdxtc (pipeline.hpp:343-363): the
+// device path computes the elementwise quantize, this seals it through the
+// XTC triplet coder.
+template <class T, int N>
+std::vector<uint8_t> biomdxtc_seal_impl(Conf& conf, const int32_t* bins, uint64_t n,
+                                        const T* unpred, uint64_t nun,
+                                        uint64_t first_fill, T fill, size_t cap) {
+    BioMDXtcCodec<T, N> codec;
+    for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+    codec.quant = LinearQuantizer<T>(conf.absErrorBound, kXtcRadius, /*strict=*/false);
+    codec.quant.unpred.assign(unpred, unpred + nun);
+    codec.first_fill_frame = first_fill;
+    codec.fill_value = fill;
+    XtcCoder coder;
+    coder.preprocess(bins, n);
+    Sink inner;
+    inner.reserve(n + 4096);
+    codec.save(inner);
+    coder.save(inner);
+    inner.put<size_t>(n);
+    coder.encode(bins, n, inner);
+    if (inner.buf.size() > cap) throw buffer_too_small();
+    return std::move(inner.buf);
+}
+
+template <class T, int N>
+void biomdxtc_open_impl(const Conf& conf, const uint8_t* cmp, size_t len,
+                        std::vector<int32_t>& bins, std::vector<T>& unpred,
+                        uint64_t& first_fill, T& fill) {
+    Source src(cmp, len);
+    BioMDXtcCodec<T, N> codec;
+    for (int i = 0; i < N; i++) codec.dims[i] = conf.dims[i];
+    codec.load(src);
+    XtcCoder coder;
+    coder.load(src);
+    size_t count = src.template get<size_t>();
+    bins.resize(count);
+    coder.decode(src, count, bins.data());
+    unpred = std::move(codec.quant.unpred);
+    first_fill = codec.first_fill_frame;
+    fill = codec.fill_value;
+}
+
+}  // namespace
+
+extern "C" {
+
+int szt_biomdxtc_seal(SztConf* conf, const int32_t* bins, uint64_t n, const float* unpred,
+                      uint64_t nun, uint64_t first_fill, float fill, uint64_t cap,
+                      uint8_t** out, uint64_t* out_len, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        switch (k.N()) {
+            case 1: payload = biomdxtc_seal_impl<float, 1>(k, bins, n, unpred, nun, first_fill, fill, cap); break;
+            case 2: payload = biomdxtc_seal_impl<float, 2>(k, bins, n, unpred, nun, first_fill, fill, cap); break;
+            case 3: payload = biomdxtc_seal_impl<float, 3>(k, bins, n, unpred, nun, first_fill, fill, cap); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// ALGO_BIOMDXTC payload -> stored bins (caller buffer, conf.num entries;
+// count written to *nbins) + the quantizer's literal stream + fill state
+int szt_biomdxtc_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t* bins,
+                      uint64_t* nbins, float** unpred, uint64_t* nun,
+                      uint64_t* first_fill, float* fill, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<int32_t> bv;
+        std::vector<float> uv;
+        uint64_t ff = 0;
+        float fv = 0;
+        switch (k.N()) {
+            case 1: biomdxtc_open_impl<float, 1>(k, payload, len, bv, uv, ff, fv); break;
+            case 2: biomdxtc_open_impl<float, 2>(k, payload, len, bv, uv, ff, fv); break;
+            case 3: biomdxtc_open_impl<float, 3>(k, payload, len, bv, uv, ff, fv); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
+        *nbins = bv.size();
+        *unpred = static_cast<float*>(std::malloc(std::max<size_t>(1, uv.size() * 4)));
+        std::memcpy(*unpred, uv.data(), uv.size() * 4);
+        *nun = uv.size();
+        *first_fill = ff;
+        *fill = fv;
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- MDZ LAMMPS in-situ hooks (reference tools/mdz/include/mdz.hpp:283-359) --
 
 int szt_lammps_compress(uint64_t frames, uint64_t atoms, double abs_eb, int32_t quantbin,

@@ -184,6 +184,47 @@ def _mul_m24_m53(m, e, M53: int, E53: int):
     return jnp.where(m == 0, I64(0), R), E
 
 
+def _mul_m31_m53(m, e, M53: int, E53: int):
+    """Exactly-rounded f64 product of m*2^e (m int64 in [0, 2^31), variable —
+    the wide variant for XTC's 2^27 radius, where quantizer integers exceed
+    2^24) and a HOST-CONSTANT M53*2^E53. Returns (P53, E), P53 in
+    [2^52, 2^53) or 0. No input normalization: the 84-bit product rides two
+    limbs (P_hi <= 2^58, P_lo < 2^26) and rounds at a data-dependent
+    position in [0, 31]."""
+    r_hi = I64(M53 >> 26)             # <= 2^27
+    r_lo = I64(M53 & ((1 << 26) - 1))
+    a = m * r_hi                       # <= 2^58
+    bl = m * r_lo                      # <= 2^57
+    P_hi = a + (bl >> I64(26))         # value = P_hi*2^26 + P_lo
+    P_lo = bl & I64((1 << 26) - 1)
+    lgP = _flog2_i64(jnp.maximum(P_hi, I64(1))) + I32(26)
+    drop = jnp.maximum(lgP - I32(52), I32(0))   # 0..31 (m>=1)
+    dl = drop.astype(I64)
+    lo_case = drop <= I32(26)
+    # drop <= 26: R takes all of P_hi plus the top bits of P_lo
+    sh_hi = jnp.clip(I64(26) - dl, 0, 63)
+    R_lo = (P_hi << sh_hi) | (P_lo >> jnp.clip(dl, 0, 63))
+    g_lo = jnp.clip(dl - I64(1), 0, 63)
+    G_lo = jnp.where(dl > 0, (P_lo >> g_lo) & I64(1), I64(0))
+    S_lo = jnp.where(dl > 1, (P_lo & ((I64(1) << g_lo) - I64(1))) != 0,
+                     jnp.zeros_like(lo_case))
+    # drop > 26: R is a shifted P_hi; G/S straddle P_hi's low bits and P_lo
+    dh = jnp.clip(dl - I64(26), 0, 63)
+    R_hi = P_hi >> dh
+    g_hi = jnp.clip(dh - I64(1), 0, 63)
+    G_hi = (P_hi >> g_hi) & I64(1)
+    S_hi = ((P_hi & ((I64(1) << g_hi) - I64(1))) != 0) | (P_lo != 0)
+    R = jnp.where(lo_case, R_lo, R_hi)
+    G = jnp.where(lo_case, G_lo, G_hi)
+    S = jnp.where(lo_case, S_lo, S_hi)
+    R = _round_half_even(R, G, S)
+    E = e + I32(E53) + drop
+    ovf = R == I64(1) << I64(53)
+    R = jnp.where(ovf, I64(1) << I64(52), R)
+    E = jnp.where(ovf, E + 1, E)
+    return jnp.where(m == 0, I64(0), R), E
+
+
 def _add_signed(negA, MA, EA, negB, MB, EB):
     """Exactly-rounded f64 sum of two magnitudes MA*2^EA, MB*2^EB with signs.
     PRECONDITION: each M is normalized to [2^52, 2^53) or zero (every caller

@@ -172,6 +172,15 @@ def lib() -> C.CDLL:
                                      C.POINTER(u64), f32pp, C.POINTER(u64),
                                      C.POINTER(C.c_int32), C.POINTER(u64),
                                      C.POINTER(C.c_float), C.c_char_p, u64]
+        l.szt_biomdxtc_seal.restype = C.c_int
+        l.szt_biomdxtc_seal.argtypes = [C.POINTER(SztConfC), C.c_void_p, u64, C.c_void_p,
+                                        u64, u64, C.c_float, u64, C.POINTER(u8p),
+                                        C.POINTER(u64), C.c_char_p, u64]
+        l.szt_biomdxtc_open.restype = C.c_int
+        l.szt_biomdxtc_open.argtypes = [C.POINTER(SztConfC), C.c_char_p, u64, C.c_void_p,
+                                        C.POINTER(u64), f32pp, C.POINTER(u64),
+                                        C.POINTER(u64), C.POINTER(C.c_float),
+                                        C.c_char_p, u64]
         _lib = l
     return _lib
 
@@ -698,6 +707,52 @@ def biomd_open(conf: Config, payload: bytes):
     lib().szt_free(C.cast(up, C.c_void_p))
     return (bins[:nbins.value], unpred, int(site.value),
             int(first_fill.value), float(fill.value))
+
+
+def biomdxtc_seal(conf: Config, bins: np.ndarray, unpred: np.ndarray,
+                  first_fill: int, fill: float, cap: int) -> bytes:
+    """Device-computed BIOMDXTC stored bins (offset by -kXtcRadius) + literal
+    stream -> payload (XTC triplet coder, lossless bypass), byte-identical to
+    the host engine's compress_biomdxtc."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    bins = np.ascontiguousarray(bins, np.int32)
+    unpred = np.ascontiguousarray(unpred, np.float32)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_biomdxtc_seal(
+        C.byref(c), bins.ctypes.data_as(C.c_void_p), C.c_uint64(bins.size),
+        unpred.ctypes.data_as(C.c_void_p), C.c_uint64(unpred.size),
+        C.c_uint64(first_fill), C.c_float(fill),
+        C.c_uint64(cap), C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_biomdxtc_seal: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
+
+
+def biomdxtc_open(conf: Config, payload: bytes):
+    """ALGO_BIOMDXTC payload -> (stored bins i32, unpred f32, first_fill,
+    fill)."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    bins = np.empty(conf.num, dtype=np.int32)
+    nbins = C.c_uint64()
+    up = C.POINTER(C.c_float)()
+    nun = C.c_uint64()
+    first_fill = C.c_uint64()
+    fill = C.c_float()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_biomdxtc_open(
+        C.byref(c), payload, C.c_uint64(len(payload)),
+        bins.ctypes.data_as(C.c_void_p), C.byref(nbins), C.byref(up),
+        C.byref(nun), C.byref(first_fill), C.byref(fill), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_biomdxtc_open: {err.value.decode()}")
+    conf_from_c(c, conf)
+    unpred = np.ctypeslib.as_array(up, shape=(nun.value,)).astype(np.float32, copy=True)
+    lib().szt_free(C.cast(up, C.c_void_p))
+    return (bins[:nbins.value], unpred, int(first_fill.value),
+            float(fill.value))
 
 
 def interp_order(conf: Config) -> np.ndarray:
