@@ -58,16 +58,42 @@ def _l():
     return l
 
 
+def _device_route() -> bool:
+    """Same auto/1/0 policy as the other device paths: on under
+    SZT_DEVICE_ENTROPY=1 or (auto + a TPU backend not pinned to cpu)."""
+    import os
+    mode = os.environ.get("SZT_DEVICE_ENTROPY", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    import jax
+    return (os.environ.get("SZT_JAX_DEVICE", "") != "cpu"
+            and jax.default_backend() == "tpu")
+
+
 def mdz_compress(data: np.ndarray, *, abs_eb: Optional[float] = None,
                  rel_eb: Optional[float] = None, batch_size: int = 0,
-                 method: int | str = -1, quantbin: int = 1024) -> bytes:
+                 method: int | str = -1, quantbin: int = 1024,
+                 backend: str = "auto") -> bytes:
     """Compress a 1D (atoms), 2D (frames, atoms) or 3D (frames, atoms, xyz)
     MD series. Exactly one of abs_eb / rel_eb must be given (reference
-    mdz.cpp:40-46). method: "ADP" (adaptive, default) or VQ/VQT/MT/LR/TS."""
+    mdz.cpp:40-46). method: "ADP" (adaptive, default) or VQ/VQT/MT/LR/TS.
+    backend: "auto" (device VQ/VQT/MT sweeps when a TPU is routed), "jax"
+    (force device), "native"."""
     if (abs_eb is None) == (rel_eb is None):
         raise ValueError("specify exactly one of abs_eb / rel_eb")
     if isinstance(method, str):
         method = METHODS[method.upper()]
+    if backend == "jax" or (backend == "auto" and _device_route()):
+        from .algos import mdz_jax
+        from .algos.device_encode import Fallback
+        try:
+            return mdz_jax.mdz_compress_jax(
+                data, abs_eb=abs_eb, rel_eb=rel_eb, batch_size=batch_size,
+                method=method, quantbin=quantbin)
+        except Fallback:
+            pass  # counted; host engine below
     if data.ndim > 3:
         raise ValueError("MDZ supports 1D-3D data")
     data = np.ascontiguousarray(data)
@@ -105,7 +131,14 @@ def mdz_peek(blob: bytes):
     return shape, (np.float32 if dtype.value == 0 else np.float64)
 
 
-def mdz_decompress(blob: bytes) -> np.ndarray:
+def mdz_decompress(blob: bytes, *, backend: str = "auto") -> np.ndarray:
+    if backend == "jax" or (backend == "auto" and _device_route()):
+        from .algos import mdz_jax
+        from .algos.device_encode import Fallback
+        try:
+            return mdz_jax.mdz_decompress_jax(blob)
+        except Fallback:
+            pass
     shape, dtype = mdz_peek(blob)
     out = np.empty(shape, dtype=dtype)
     err = C.create_string_buffer(_ERRCAP)

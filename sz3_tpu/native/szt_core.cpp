@@ -1074,6 +1074,114 @@ int szt_biomdxtc_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32
     }
 }
 
+// ---- MDZ device-path building blocks (ops/mdz_device.py) ---------------------
+// The heavy per-batch quantize sweeps run on device; these entries cover the
+// host-side pieces: VQ level learning (kmeans get_cluster + the sampling
+// rules of mdz_compress_2d), the Exaalt two-Huffman stream seal/open, and
+// the TimeSeries generic seal/open.
+
+int szt_mdz_levels(const float* data, uint64_t atoms, float* ls, float* lo, int32_t* ln,
+                   char* err, uint64_t errcap) {
+    try {
+        size_t sample_num = size_t(0.1 * double(atoms));
+        sample_num = std::min(sample_num, size_t(20000));
+        sample_num = std::max(sample_num, std::min(size_t(5000), size_t(atoms)));
+        float start = 0, offset = 1;
+        int num = 0;
+        get_cluster(data, atoms, start, offset, num, sample_num);
+        if (num > double(atoms) * 0.25) num = 0;
+        *ls = start;
+        *lo = offset;
+        *ln = num;
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_exaalt_seal(double eb, int32_t radius, const int32_t* qinds, uint64_t n,
+                    const int32_t* pinds, uint64_t pn, const float* unpred, uint64_t nun,
+                    uint64_t cap, uint8_t** out, uint64_t* out_len, char* err,
+                    uint64_t errcap) {
+    try {
+        LinearQuantizer<float> quant(eb, radius);
+        quant.unpred.assign(unpred, unpred + nun);
+        Sink inner;
+        inner.reserve(n / 2 + 4096);
+        quant.save(inner);
+        Huffman<int32_t> h1;
+        h1.build(qinds, n);
+        h1.save(inner);
+        h1.encode(qinds, n, inner);
+        Huffman<int32_t> h2;
+        h2.build(pinds, pn);
+        h2.save(inner);
+        h2.encode(pinds, pn, inner);
+        auto payload = zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_exaalt_open(const uint8_t* cmp, uint64_t len, uint64_t n, uint64_t pn,
+                    int32_t* qinds, int32_t* pinds, float** unpred, uint64_t* nun,
+                    char* err, uint64_t errcap) {
+    try {
+        auto raw = zstd_unpack(cmp, len);
+        Source src(raw.data(), raw.size());
+        LinearQuantizer<float> quant(1.0);
+        quant.load(src);
+        Huffman<int32_t> h1;
+        h1.load(src);
+        h1.decode(src, n, qinds);
+        Huffman<int32_t> h2;
+        h2.load(src);
+        h2.decode(src, pn, pinds);
+        *unpred = static_cast<float*>(std::malloc(std::max<size_t>(1, quant.unpred.size() * 4)));
+        std::memcpy(*unpred, quant.unpred.data(), quant.unpred.size() * 4);
+        *nun = quant.unpred.size();
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_mdz_ts_seal(double eb, int32_t radius, const int32_t* bins, uint64_t n,
+                    const float* unpred, uint64_t nun, uint64_t cap, uint8_t** out,
+                    uint64_t* out_len, char* err, uint64_t errcap) {
+    try {
+        TimeSeriesCodec<float> codec;
+        codec.quant = LinearQuantizer<float>(eb, radius);
+        codec.quant.unpred.assign(unpred, unpred + nun);
+        std::vector<int32_t> bv(bins, bins + n);
+        auto payload = seal_payload<float>(codec, bv, cap);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+int szt_mdz_ts_open(const uint8_t* cmp, uint64_t len, uint64_t n, int32_t* bins,
+                    float** unpred, uint64_t* nun, char* err, uint64_t errcap) {
+    try {
+        TimeSeriesCodec<float> codec;
+        std::vector<int32_t> bv;
+        open_payload(codec, cmp, len, bv);
+        if (bv.size() != n) throw std::runtime_error("ts bins count mismatch");
+        std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
+        *unpred = static_cast<float*>(
+            std::malloc(std::max<size_t>(1, codec.quant.unpred.size() * 4)));
+        std::memcpy(*unpred, codec.quant.unpred.data(), codec.quant.unpred.size() * 4);
+        *nun = codec.quant.unpred.size();
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- MDZ LAMMPS in-situ hooks (reference tools/mdz/include/mdz.hpp:283-359) --
 
 int szt_lammps_compress(uint64_t frames, uint64_t atoms, double abs_eb, int32_t quantbin,
