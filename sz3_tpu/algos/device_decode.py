@@ -58,11 +58,13 @@ def _static_dec(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
     @jax.jit
     def finish(dense2d, unpred):
         dense = dense2d.reshape(-1)[:need]
+        nzero = jnp.sum((dense == 0).astype(jnp.int32), dtype=jnp.int32)
         lit_dense = _place_literals(dense, unpred, dtype)
         _anc_b, bins_list = invert_stream_layout(jnp, lp, lplans, dense)
         anc_l, lit_list = invert_stream_layout(jnp, lp, lplans, lit_dense)
         lit0 = anc_l.reshape(anchor_dims)
-        return decode_grid_fast(bins_list, lit_list, plan, lit0, None, dtype)
+        out = decode_grid_fast(bins_list, lit_list, plan, lit0, None, dtype)
+        return out, nzero
 
     return need, finish
 
@@ -70,13 +72,34 @@ def _static_dec(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
 def _place_literals(dense, unpred, dtype):
     """Literal values to their zero-bin slots, in stream order: the k-th
     zero bin consumes unpred[k] (LinearQuantizer.hpp:74-86 recover order).
-    cumsum + searchsorted + an unpred-sized scatter — never a dense gather."""
+    cumsum + searchsorted + an unpred-sized scatter — never a dense gather.
+
+    `unpred` arrives PADDED to a bucketed length (_pad_unpred) so the jit
+    cache doesn't key on the archive's exact literal count; pad entries have
+    k > nzero, searchsorted returns dense.size, and JAX drops out-of-range
+    scatters. A literal count that disagrees with the stream's zero count is
+    caught by the caller via the returned nzero (the host path raises on
+    such archives; the device path must not silently misplace)."""
     if unpred.shape[0] == 0:
         return jnp.zeros(dense.shape[0], dtype)
     ranks = jnp.cumsum((dense == 0).astype(jnp.int32))
     ks = jnp.arange(1, unpred.shape[0] + 1, dtype=jnp.int32)
     pos = jnp.searchsorted(ranks, ks, side="left")
     return jnp.zeros(dense.shape[0], dtype).at[pos].set(unpred)
+
+
+def _pad_unpred(unpred: np.ndarray, dtype) -> np.ndarray:
+    """Pad the literal stream to the next power-of-two bucket (min 128) so
+    the decode program compiles once per bucket, not once per archive."""
+    n = unpred.size
+    if n == 0:
+        return np.zeros(0, dtype)
+    bucket = 128
+    while bucket < n:
+        bucket *= 2
+    out = np.zeros(bucket, dtype)
+    out[:n] = unpred
+    return out
 
 
 def _dense_bins(bits: bytes, count: int, offset: int, codes, lens,
@@ -96,8 +119,8 @@ def decode_payload_device(conf: Config, payload: bytes, dtype) -> np.ndarray:
     """INTERP payload -> array with the whole decode on-device."""
     if np.dtype(dtype) != np.float32:
         raise _fall("device decode path is f32-only")
-    bits, count, offset, codes, lens, const_sym, unpred = \
-        runtime.open_packed(conf, payload, dtype, algo=2)
+    # static gates BEFORE the payload open: a fallback here must not pay the
+    # zstd decompress twice (the host path re-opens on fallback)
     need, finish = _static_dec(tuple(conf.dims), int(conf.interpAlgo),
                                conf.interpDirection, conf.interpAnchorStride,
                                conf.interpAlpha, conf.interpBeta,
@@ -105,13 +128,19 @@ def decode_payload_device(conf: Config, payload: bytes, dtype) -> np.ndarray:
                                np.dtype(dtype).name)
     if finish is None:
         raise _fall("no anchor grid")
+    bits, count, offset, codes, lens, const_sym, unpred = \
+        runtime.open_packed(conf, payload, dtype, algo=2)
     if count != need:
         raise _fall(f"archived count {count} != layout count {need}")
+    n_lit = unpred.size
     dev = exec_device()
     with _maybe_on(dev):
         dense = _dense_bins(bits, count, offset, codes, lens, const_sym)
-        out = finish(dense, jnp.asarray(unpred))
-        return np.asarray(out)
+        out, nzero = finish(dense, jnp.asarray(_pad_unpred(unpred, dtype)))
+        out = np.asarray(out)
+    if int(nzero) != n_lit:
+        raise _fall(f"literal stream length {n_lit} != zero bins {int(nzero)}")
+    return out
 
 
 def decode_payload_device_nopred(conf: Config, payload: bytes,
@@ -124,12 +153,17 @@ def decode_payload_device_nopred(conf: Config, payload: bytes,
     num = conf.num
     if count != num:
         raise _fall(f"archived count {count} != num {num}")
+    n_lit = unpred.size
     dev = exec_device()
     with _maybe_on(dev):
         dense = _dense_bins(bits, count, offset, codes, lens, const_sym)
-        out = _nopred_finish(num, conf.absErrorBound, conf.quantbinCnt,
-                             np.dtype(dtype).name)(dense, jnp.asarray(unpred))
-        return np.asarray(out)
+        out, nzero = _nopred_finish(
+            num, conf.absErrorBound, conf.quantbinCnt,
+            np.dtype(dtype).name)(dense, jnp.asarray(_pad_unpred(unpred, np.dtype(dtype))))
+        out = np.asarray(out)
+    if int(nzero) != n_lit:
+        raise _fall(f"literal stream length {n_lit} != zero bins {int(nzero)}")
+    return out
 
 
 def decode_payload_device_biomd(conf: Config, payload: bytes,
@@ -214,8 +248,9 @@ def _nopred_finish(num, eb, quantbin_cnt, dtype_name):
     @jax.jit
     def finish(dense2d, unpred):
         bins = dense2d.reshape(-1)[:num]
+        nzero = jnp.sum((bins == 0).astype(jnp.int32), dtype=jnp.int32)
         literal = _place_literals(bins, unpred, dtype)
         return recover(jnp.zeros(num, dtype), bins, literal, eb,
-                       quantbin_cnt // 2)
+                       quantbin_cnt // 2), nzero
 
     return finish

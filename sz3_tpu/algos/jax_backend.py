@@ -42,22 +42,32 @@ def _device_entropy_mode() -> str:
     return os.environ.get("SZT_DEVICE_ENTROPY", "auto")
 
 
+def _device_routed() -> bool:
+    """One policy for every device route (encode and decode, all
+    algorithms): SZT_DEVICE_ENTROPY=1 forces it, =0 disables it, and auto
+    requires a real TPU default backend not pinned to cpu via
+    SZT_JAX_DEVICE. Callers wrap the device attempt in
+    try/except device_*.Fallback and fall through to the host engine."""
+    import os
+    mode = _device_entropy_mode()
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    import jax
+    return (os.environ.get("SZT_JAX_DEVICE", "") != "cpu"
+            and jax.default_backend() == "tpu")
+
+
 def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
     if conf.interpAnchorStride < 0:
         conf.interpAnchorStride = [4096, 128, 32, 16][conf.N - 1]
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_encode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_encode.encode_payload_device(conf, data, cap)
-            except device_encode.Fallback:
-                pass
+        try:
+            return device_encode.encode_payload_device(conf, data, cap)
+        except device_encode.Fallback:
+            pass
     # conf.dims drops size-1 axes (reference setDims semantics); the device
     # plan, the stream permutation, and the archive must all use that shape
     data = data.reshape(conf.dims)
@@ -76,19 +86,12 @@ def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
 
 
 def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_decode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_decode.decode_payload_device(conf, payload, dtype)
-            except device_decode.Fallback:
-                pass
+        try:
+            return device_decode.decode_payload_device(conf, payload, dtype)
+        except device_decode.Fallback:
+            pass
     stream, unpred = runtime.interp_open(conf, payload, dtype)
     perm = _stream_perm(tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection, conf.interpAnchorStride)
     bins_grid, literal = runtime.perm_place(perm, stream, unpred, tuple(conf.dims), dtype)
@@ -102,39 +105,25 @@ def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
 def _nopred_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
     """NOPRED with the quantize-vs-zero pass and the entropy stage on-device
     (reference SZAlgoNopred.hpp:13-36); host engine on fallback."""
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_encode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_encode.encode_payload_device_nopred(conf, data, cap)
-            except device_encode.Fallback:
-                pass
+        try:
+            return device_encode.encode_payload_device_nopred(conf, data, cap)
+        except device_encode.Fallback:
+            pass
     return runtime.compress_payload(conf, data, cap)
 
 
 def _nopred_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
     """NOPRED decode: device entropy decode + vectorized recover; host
     entropy open on fallback."""
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_decode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_decode.decode_payload_device_nopred(
-                    conf, payload, dtype)
-            except device_decode.Fallback:
-                pass
+        try:
+            return device_decode.decode_payload_device_nopred(
+            conf, payload, dtype)
+        except device_decode.Fallback:
+            pass
     bins, unpred = runtime.nopred_open(conf, payload, dtype)
     literal = np.zeros(conf.num, dtype=dtype)
     if unpred.size:
@@ -155,39 +144,25 @@ def _biomd_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
     """ALGO_BIOMD with the frames>0 recurrence on-device (two vectorized
     quantize steps per frame; reference SZBioMDDecomposition.hpp:229-285);
     host engine on fallback."""
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_encode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_encode.encode_payload_device_biomd(conf, data, cap)
-            except device_encode.Fallback:
-                pass
+        try:
+            return device_encode.encode_payload_device_biomd(conf, data, cap)
+        except device_encode.Fallback:
+            pass
     return runtime.compress_payload(conf, data, cap)
 
 
 def _biomd_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
     """ALGO_BIOMD decode with the frames>0 recover scan on-device; host
     engine on fallback."""
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_decode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_decode.decode_payload_device_biomd(
-                    conf, payload, dtype)
-            except device_decode.Fallback:
-                pass
+        try:
+            return device_decode.decode_payload_device_biomd(
+            conf, payload, dtype)
+        except device_decode.Fallback:
+            pass
     return runtime.decompress_payload(
         conf, payload, dtype=runtime.np_dtype_id(np.empty(0, dtype=dtype)))
 
@@ -196,39 +171,25 @@ def _biomdxtc_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
     """ALGO_BIOMDXTC with the elementwise XTC-radius quantize on-device
     (ops/xtc_device.py); host engine on fallback. The XTC triplet coder is
     the native engine either way."""
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_encode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_encode.encode_payload_device_biomdxtc(conf, data, cap)
-            except device_encode.Fallback:
-                pass
+        try:
+            return device_encode.encode_payload_device_biomdxtc(conf, data, cap)
+        except device_encode.Fallback:
+            pass
     return runtime.compress_payload(conf, data, cap)
 
 
 def _biomdxtc_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
     """ALGO_BIOMDXTC decode with the vectorized recover on-device; host
     engine on fallback."""
-    mode = _device_entropy_mode()
-    if mode != "0":
-        import jax
-
+    if _device_routed():
         from . import device_decode
-        import os
-        pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-        if mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu"):
-            try:
-                return device_decode.decode_payload_device_biomdxtc(
-                    conf, payload, dtype)
-            except device_decode.Fallback:
-                pass
+        try:
+            return device_decode.decode_payload_device_biomdxtc(
+            conf, payload, dtype)
+        except device_decode.Fallback:
+            pass
     return runtime.decompress_payload(
         conf, payload, dtype=runtime.np_dtype_id(np.empty(0, dtype=dtype)))
 

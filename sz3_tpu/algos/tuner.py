@@ -56,9 +56,18 @@ def _profiling_starts(data: np.ndarray, bs: int, abseb: float,
     perm = tuple(range(0, 2 * N, 2)) + tuple(range(1, 2 * N, 2))
     sub = np.transpose(sub, perm)
     red = tuple(range(N, 2 * N))
-    rng = sub.max(axis=red).astype(np.float64) - \
-        sub.min(axis=red).astype(np.float64)
-    mask = rng > abseb
+    # replicate the scalar walk's arithmetic exactly (pipeline.hpp
+    # profiling_block): the range is a T-typed subtraction promoted to
+    # double — `double(mx - mn) > abseb` — NOT an f64-exact difference
+    # (1-ulp divergence flips block membership at the threshold); and the
+    # comparison chain `v < mn / v > mx` IGNORES NaNs unless the block's
+    # ORIGIN value is NaN (then mn/mx stay NaN and the block never
+    # profiles). fmax/fmin.reduce give the NaN-ignoring min/max.
+    mx = np.fmax.reduce(sub, axis=red)
+    mn = np.fmin.reduce(sub, axis=red)
+    rng = (mx - mn).astype(np.float64)
+    origin_ok = ~np.isnan(sub[(...,) + (0,) * N])
+    mask = origin_ok & (rng > abseb)
     idx = np.argwhere(mask)      # row-major — matches the native walk order
     out = np.empty_like(idx)
     for a in range(N):

@@ -59,17 +59,9 @@ def _l():
 
 
 def _device_route() -> bool:
-    """Same auto/1/0 policy as the other device paths: on under
-    SZT_DEVICE_ENTROPY=1 or (auto + a TPU backend not pinned to cpu)."""
-    import os
-    mode = os.environ.get("SZT_DEVICE_ENTROPY", "auto")
-    if mode == "0":
-        return False
-    if mode == "1":
-        return True
-    import jax
-    return (os.environ.get("SZT_JAX_DEVICE", "") != "cpu"
-            and jax.default_backend() == "tpu")
+    """Same auto/1/0 policy as the other device paths (jax_backend)."""
+    from .algos.jax_backend import _device_routed
+    return _device_routed()
 
 
 def mdz_compress(data: np.ndarray, *, abs_eb: Optional[float] = None,

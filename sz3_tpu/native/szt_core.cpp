@@ -782,6 +782,7 @@ int szt_nopred_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t
         if (conf->engineType == 0) open(static_cast<float*>(nullptr));
         else if (conf->engineType == 1) open(static_cast<double*>(nullptr));
         else throw std::runtime_error("unsupported dtype for device path");
+        if (bv.size() > k.num()) throw std::runtime_error("archived bin count exceeds conf.num");
         std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
         from_conf(k, conf);
         return 0;
@@ -833,6 +834,7 @@ int szt_blockwise_open(SztConf* conf, const uint8_t* payload, uint64_t len, int3
             case 4: blockwise_open<float, 4>(k, payload, len, bv, sv, rv, qlv, qiv, uv); break;
             default: throw std::runtime_error("unsupported dimensionality");
         }
+        if (bv.size() > k.num()) throw std::runtime_error("archived bin count exceeds conf.num");
         std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
         *sel = static_cast<int32_t*>(std::malloc(std::max<size_t>(1, sv.size() * 4)));
         std::memcpy(*sel, sv.data(), sv.size() * 4);
@@ -957,6 +959,7 @@ int szt_biomd_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32_t*
             case 3: biomd_open<float, 3>(k, payload, len, bv, uv, s, ff, fv); break;
             default: throw std::runtime_error("unsupported dimensionality");
         }
+        if (bv.size() > k.num()) throw std::runtime_error("archived bin count exceeds conf.num");
         from_conf(k, conf);
         std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
         *nbins = bv.size();
@@ -1061,6 +1064,7 @@ int szt_biomdxtc_open(SztConf* conf, const uint8_t* payload, uint64_t len, int32
             case 3: biomdxtc_open_impl<float, 3>(k, payload, len, bv, uv, ff, fv); break;
             default: throw std::runtime_error("unsupported dimensionality");
         }
+        if (bv.size() > k.num()) throw std::runtime_error("archived bin count exceeds conf.num");
         std::memcpy(bins, bv.data(), bv.size() * sizeof(int32_t));
         *nbins = bv.size();
         *unpred = static_cast<float*>(std::malloc(std::max<size_t>(1, uv.size() * 4)));

@@ -82,16 +82,9 @@ def _device_entropy_route(base: Config) -> bool:
     are built per field on the host, but the quantize schedule must be
     compile-time (range-relative modes trace eb and would recompile per
     field)."""
-    import os
-
-    import jax
+    from .algos.jax_backend import _device_routed
     from .config import EB
-    mode = os.environ.get("SZT_DEVICE_ENTROPY", "auto")
-    if mode == "0" or base.errorBoundMode != EB.ABS:
-        return False
-    pinned_cpu = os.environ.get("SZT_JAX_DEVICE", "") == "cpu"
-    return mode == "1" or (mode == "auto" and not pinned_cpu
-                           and jax.default_backend() == "tpu")
+    return base.errorBoundMode == EB.ABS and _device_routed()
 
 
 def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
@@ -140,6 +133,20 @@ def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
                 a_q[nxt_a] = jit_a(x)
                 nxt_a += 1
 
+        def drain_oldest():
+            # force the OLDEST packed stream, then do the host zstd while
+            # the device runs ahead on queued work
+            j = min(b_q)
+            tree_j, tb_j, nl_j, lits_j, words_j = b_q.pop(j)
+            bits = de._stream_bytes(words_j, tb_j)
+            unpred = de._literals(lits_j, nl_j, stack.dtype)
+            c = base.copy()
+            payload = runtime.interp_seal_packed(c, tree_j, bits, tb_j,
+                                                 num, unpred, cap)
+            out[j] = hdr.pack(SZ3_MAGIC_NUMBER, ver, len(payload)) \
+                + payload + c.save()
+            pump_a()
+
         pump_a()
         for i in range(b):
             bins_stream, hist, lits, nlit = a_q.pop(i)
@@ -154,19 +161,10 @@ def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
             words, _ = jit_b(bins_stream, tc, tl, c0)   # dispatched async
             b_q[i] = (tree, total_bits, n_lit, lits, words)
             pump_a()
-            # drain: force the OLDEST packed stream once newer device work is
-            # queued, then do the host zstd while the device runs ahead
-            while b_q and (len(b_q) >= 2 or i == b - 1):
-                j = min(b_q)
-                tree_j, tb_j, nl_j, lits_j, words_j = b_q.pop(j)
-                bits = de._stream_bytes(words_j, tb_j)
-                unpred = de._literals(lits_j, nl_j, stack.dtype)
-                c = base.copy()
-                payload = runtime.interp_seal_packed(c, tree_j, bits, tb_j,
-                                                     num, unpred, cap)
-                out[j] = hdr.pack(SZ3_MAGIC_NUMBER, ver, len(payload)) \
-                    + payload + c.save()
-                pump_a()
+            while len(b_q) >= 2:
+                drain_oldest()
+        while b_q:   # final flush (must run even when the LAST field fell
+            drain_oldest()  # back — a `continue` above skips the loop body)
     return out
 
 

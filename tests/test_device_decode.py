@@ -72,8 +72,10 @@ def test_finish_chain_matches_host(dims, eb, algo, stride):
     rows = -(-need // 128) + 1
     dense2d = np.zeros((rows, 128), np.int32)
     dense2d.ravel()[:need] = stream
-    got = np.asarray(finish(jnp.asarray(dense2d), jnp.asarray(unpred)))
-    assert np.array_equal(got.ravel(), np.asarray(want).ravel())
+    got, nzero = finish(jnp.asarray(dense2d),
+                        jnp.asarray(device_decode._pad_unpred(unpred, np.float32)))
+    assert int(nzero) == unpred.size
+    assert np.array_equal(np.asarray(got).ravel(), np.asarray(want).ravel())
 
 
 # ---- TPU tier -------------------------------------------------------------------

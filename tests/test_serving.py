@@ -160,15 +160,18 @@ class TestServingDeviceEntropy:
     def test_fallback_field_still_sealed(self, monkeypatch):
         """A field whose symbols leave the device window (here: a huge-range
         spike field at a tiny eb) falls back per batch without corrupting the
-        others."""
+        others. The spike is on the LAST field: a fallback there must not
+        skip the final drain of the queued earlier fields (round-3 review
+        regression — compress_batch returned b'' for them)."""
         monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")
-        fields = stack(b=2, n=24, seed=1)
-        fields[1, 3, 4, 5] = 1e9  # forces unpredictable/extreme symbols
+        fields = stack(b=3, n=24, seed=1)
+        fields[2, 3, 4, 5] = 1e9  # forces unpredictable/extreme symbols
         conf = Config(dims=fields.shape[1:], cmprAlgo=ALGO.INTERP,
                       absErrorBound=1e-6)
         conf.interpAnchorStride = 16
         blobs = compress_batch(fields, conf)
         monkeypatch.setenv("SZT_DEVICE_ENTROPY", "0")
-        for i in range(2):
+        for i in range(3):
+            assert blobs[i], f"field {i} never sealed"
             single = szt.compress(fields[i], conf.copy(), backend="native")
             assert blobs[i] == single

@@ -62,3 +62,37 @@ def test_archives_identical_through_public_api(mode):
     a = szt.compress(data, Config(**kw), set_datatype=False)
     b = szt.compress(data, Config(**kw), set_datatype=False, backend="jax")
     assert a == b
+
+
+def test_profiling_range_arithmetic_matches_scalar_walk():
+    """Round-3 review regression: the block range must be a T-typed (f32)
+    subtraction promoted to double — `double(mx - mn) > abseb` — not an
+    f64-exact difference, and non-origin NaNs are IGNORED by the scalar
+    walk's comparison chain (origin NaN poisons the block instead)."""
+    from sz3_tpu.algos.tuner import _profiling_starts
+
+    bs, stride = 4, 4
+    # mx - mn chosen so the f32 subtraction rounds UP across abseb while the
+    # exact f64 difference stays below: mn tiny-positive, mx = abseb as f32.
+    mn = np.float32(2.0 ** -26)   # f32(1 - 2^-26) rounds UP to 1.0
+    mx = np.float32(1.0)
+    abseb = 1.0 - 2.0 ** -27      # f64 diff (1 - 2^-26) < abseb < f32 diff (1.0)
+    assert float(mx) - float(mn) <= abseb < float(np.float32(mx - mn))
+    data = np.full((8, 8), mn, np.float32)
+    data[0, 4] = mx               # sampled corner (si = (0, bs))
+    starts = _profiling_starts(data, bs, abseb, stride)
+    assert starts.shape[0] == 1 and tuple(starts[0]) == (0, 0)
+
+    # non-origin NaN: ignored; the finite values still profile the block
+    data2 = np.full((8, 8), 0.0, np.float32)
+    data2[0, 4] = 5.0             # sampled corner (si = (0, bs))
+    data2[4, 0] = np.nan          # sampled, non-origin
+    starts2 = _profiling_starts(data2, bs, 1.0, stride)
+    assert starts2.shape[0] == 1
+
+    # origin NaN: comparisons never update mn/mx -> block never profiles
+    data3 = np.full((8, 8), 0.0, np.float32)
+    data3[0, 0] = np.nan
+    data3[0, 4] = 5.0
+    starts3 = _profiling_starts(data3, bs, 1.0, stride)
+    assert starts3.shape[0] == 0
