@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -33,8 +35,37 @@ def exact_mode(eb) -> bool:
             and os.environ.get("SZT_JAX_DEVICE", "") != "cpu")
 
 
+def pow2_sha_safe(eb, radius: int) -> bool:
+    """True when the FAST (float-float) mode provably reproduces the IEEE-f64
+    quantizer bit-for-bit, so the softfloat can be skipped with parity intact
+    (ARCHITECTURE.md "Power-of-two bounds need no softfloat"). Proof sketch:
+    with eb = 2^k (normal, |k| <= 100) and 2*radius <= 2^24, every f64
+    intermediate is EXACT in float-float —
+      * |diff| * recip and q * eb are scalings by a power of two of a value
+        with <= 24 significant bits (exactly representable; 2Mul exact);
+      * pred + q*eb is a sum of two f32-representable values, whose f32
+        addition error is itself an f32 (the 2Sum theorem), so the float-
+        float pair holds the sum exactly and the narrow returns fl32(sum);
+      * the IEEE path's intermediate round53 is the identity when the sum
+        spans <= 53 bits (exponent gap <= 29) and irrelevant when it spans
+        more (the addend is then < ulp32(pred)/32, both roundings give pred);
+      * the verify compare err <= eb compares two exactly-represented values.
+    Residual precondition: no subnormal f32 reconstructions (TPU f32 ops
+    flush-to-zero; IEEE keeps gradual underflow) — scientific data in the
+    normal range satisfies this; eb's exponent bound keeps q*eb normal."""
+    if not isinstance(eb, float) or not (eb > 0):
+        return False
+    bits = int(np.float64(eb).view(np.uint64))
+    frac = bits & ((1 << 52) - 1)
+    expf = (bits >> 52) & 0x7FF
+    k = expf - 1023
+    return frac == 0 and -100 <= k <= 100 and 2 * radius <= (1 << 24)
+
+
 def quantize(data, pred, eb, radius: int):
-    if exact_mode(eb) and data.dtype == jnp.float32:
+    if (exact_mode(eb) and data.dtype == jnp.float32
+            and not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
+                     and pow2_sha_safe(eb, radius))):
         from .exactf64 import quantize_exact
         return quantize_exact(data, pred, eb, radius)
     return _quantize_native(data, pred, eb, radius)
@@ -69,7 +100,9 @@ def _quantize_native(data, pred, eb, radius: int):
 
 
 def recover(pred, bins, literal, eb, radius: int):
-    if exact_mode(eb) and pred.dtype == jnp.float32:
+    if (exact_mode(eb) and pred.dtype == jnp.float32
+            and not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
+                     and pow2_sha_safe(eb, radius))):
         from .exactf64 import recover_exact
         return recover_exact(pred, bins, literal, eb, radius)
     return _recover_native(pred, bins, literal, eb, radius)

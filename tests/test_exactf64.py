@@ -280,3 +280,48 @@ def test_add_signed_lexicographic_ties():
             b = MB.astype(np.float64) * np.exp2(EB) * (-1 if negB else 1)
             want = (a + b).astype(np.float32).astype(np.float64)
             assert np.array_equal(got, want), (negA, negB, got, want)
+
+
+def test_pow2_sha_safe_predicate_and_routing(monkeypatch):
+    """Power-of-two bounds provably need no softfloat (ARCHITECTURE.md):
+    the predicate accepts exactly the proven range, auto mode routes fast
+    for them, and the fast path's results equal the exact path's (trivially
+    on the IEEE-f64 CPU backend — the derivation is the TPU claim)."""
+    from sz3_tpu.ops.quantize import pow2_sha_safe, quantize
+
+    assert pow2_sha_safe(2.0 ** -10, 32768)
+    assert pow2_sha_safe(0.25, 512)
+    assert pow2_sha_safe(1.0, 1 << 23)
+    assert not pow2_sha_safe(1e-3, 32768)          # not a power of two
+    assert not pow2_sha_safe(2.0 ** -10, (1 << 23) + 1)  # quantbin too big
+    assert not pow2_sha_safe(2.0 ** -120, 32768)   # subnormal-product range
+    assert not pow2_sha_safe(0.0, 32768)
+    assert not pow2_sha_safe(float("nan"), 32768)
+
+    # auto + pow2 -> the softfloat module must NOT be invoked
+    monkeypatch.setenv("SZT_EXACT_F64", "1")       # force exact_mode() True
+    import sz3_tpu.ops.quantize as q
+
+    monkeypatch.setattr(q, "exact_mode", lambda eb: True)
+    called = {}
+    import sz3_tpu.ops.exactf64 as xf
+    orig = xf.quantize_exact
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(xf, "quantize_exact", spy)
+    monkeypatch.setenv("SZT_EXACT_F64", "auto")
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    pred = jnp.zeros(4096, jnp.float32)
+    b_fast, r_fast = q.quantize(data, pred, 2.0 ** -10, 32768)
+    assert "hit" not in called                     # fast path taken
+    b_soft, r_soft = orig(data, pred, 2.0 ** -10, 32768)
+    assert np.array_equal(np.asarray(b_fast), np.asarray(b_soft))
+    assert np.asarray(r_fast).tobytes() == np.asarray(r_soft).tobytes()
+    # non-pow2 under forced exact still routes softfloat
+    monkeypatch.setenv("SZT_EXACT_F64", "1")
+    q.quantize(data, pred, 1e-3, 32768)
+    assert called.get("hit")
