@@ -252,6 +252,11 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
             runtime.tune_interp(conf, data)     # native tuner (1D / non-f32)
     if conf.cmprAlgo == ALGO.LOSSLESS:
         return runtime.zstd_compress(data.tobytes())
+    if conf.cmprAlgo == ALGO.INTERP and data.dtype not in (np.float32,
+                                                           np.float64):
+        # integer dtypes ride the host engine end-to-end (the device interp
+        # kernels and the packed seal are float-only)
+        return runtime.compress_payload(conf, data, cap)
     if conf.cmprAlgo == ALGO.INTERP:
         try:
             payload = _interp_encode_payload(conf, data, cap)  # read-only path
@@ -316,7 +321,7 @@ def decompress_payload_jax(conf: Config, payload: bytes, dtype=None) -> np.ndarr
     if conf.cmprAlgo == ALGO.LOSSLESS:
         raw = runtime.zstd_decompress(payload)
         return np.frombuffer(raw, dtype=dt).reshape(conf.dims).copy()
-    if conf.cmprAlgo == ALGO.INTERP:
+    if conf.cmprAlgo == ALGO.INTERP and dt in (np.float32, np.float64):
         return _interp_decode_payload(conf, payload, dt).reshape(conf.dims)
     if conf.cmprAlgo == ALGO.NOPRED and dt == np.float32:
         # f32 only: f64 recover on TPU would ride the float-float emulation

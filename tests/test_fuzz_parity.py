@@ -157,3 +157,65 @@ def test_fuzz_biomd_parity(tmp_path, seed):
     out, _ = szt.decompress(szf.read_bytes(), dtype=np.float32)
     assert np.array_equal(out.ravel(), np.fromfile(outf, dtype=np.float32)), \
         f"cross-decode differs for {label}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_device_routes(tmp_path, seed, monkeypatch):
+    """The fuzz matrix with every device route FORCED (SZT_DEVICE_ENTROPY=1):
+    archives and reconstructions must still be byte-identical to the
+    reference binary. Covers the round-3 device paths (entropy encode+decode,
+    wavefront LORENZO_REG decode, NOPRED/BIOMD/XTC sweeps) against random
+    shapes, modes, and dtypes (non-f32 cases exercise the counted
+    fallbacks)."""
+    monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")
+    rng = np.random.default_rng(7000 + seed)
+    shape, dtype, kind, mode, args, algo_ini = random_case(rng)
+    arr = synth(shape, dtype, kind, rng)
+
+    datf = tmp_path / "in.dat"
+    szf = tmp_path / "ref.sz"
+    outf = tmp_path / "ref.out"
+    arr.tofile(datf)
+    cmd = [str(REF), *DTYPE_FLAG[dtype], "-i", str(datf), "-z", str(szf),
+           "-o", str(outf), f"-{len(shape)}",
+           *[str(s) for s in reversed(shape)], *args]
+    if algo_ini:
+        ini = tmp_path / "a.ini"
+        ini.write_text(f"[GlobalSettings]\nCmprAlgo = {algo_ini}\n")
+        cmd += ["-c", str(ini)]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ref_blob = szf.read_bytes()
+    ref_out = np.fromfile(outf, dtype=dtype)
+
+    conf = Config(dims=shape)
+    if algo_ini:
+        conf.load_ini(f"[GlobalSettings]\nCmprAlgo = {algo_ini}\n")
+    i = 0
+    while i < len(args):
+        if args[i] == "-M":
+            conf.errorBoundMode = EB_MAP[args[i + 1]]
+            i += 2
+            if i < len(args) and not args[i].startswith("-"):
+                v = float(args[i])
+                conf.absErrorBound = v if args[i - 1] == "ABS" else conf.absErrorBound
+                conf.relErrorBound = v if args[i - 1] == "REL" else conf.relErrorBound
+                conf.psnrErrorBound = v if args[i - 1] == "PSNR" else conf.psnrErrorBound
+                conf.l2normErrorBound = v if args[i - 1] == "NORM" else conf.l2normErrorBound
+                i += 1
+        elif args[i] == "-A":
+            conf.absErrorBound = float(args[i + 1]); i += 2
+        elif args[i] == "-R":
+            conf.relErrorBound = float(args[i + 1]); i += 2
+        else:
+            i += 1
+
+    label = f"{shape} {dtype} {kind} {mode} {algo_ini}"
+    ours = szt.compress(arr, conf, set_datatype=False, backend="jax")
+    assert hashlib.sha256(ours).hexdigest() == \
+        hashlib.sha256(ref_blob).hexdigest(), \
+        f"device-route archive differs for {label}"
+    out, _ = szt.decompress(ref_blob, dtype=np.dtype(dtype), backend="jax")
+    assert np.array_equal(out.ravel(), ref_out), \
+        f"device-route decode differs for {label}"
