@@ -15,10 +15,14 @@ f64 operations the codec needs as softfloat over int64 lanes:
   * round53(dec_f32 - data_f32)      <= eb_f64  (verify compare)
   * f32(-0.5*a + 1.5*b) promoted through f64    (linear1 predictor)
 
-Cost is ~10x a plain f32 pass but the quantizer is a small slice of the
-pipeline; enabled on TPU backends (SZT_EXACT_F64=auto|1|0). Numerical
-equivalence with IEEE doubles is property-tested against numpy float64 in
-tests/test_exactf64.py, including directed ulp-tie cases.
+Cost: round 3 specialized the hot paths to their static value ranges (f32
+mantissas and quantizer integers < 2^24, normalized operands in [2^52,2^53))
+so the generic 64-bit floor-log2/normalize machinery reduces to one-compare
+or exponent-extract forms at every hot call site; and power-of-two bounds
+bypass the softfloat entirely with parity PROVEN (quantize.pow2_sha_safe,
+ARCHITECTURE.md). Enabled on TPU backends (SZT_EXACT_F64=auto|1|0).
+Numerical equivalence with IEEE doubles is property-tested against numpy
+float64 in tests/test_exactf64.py, including directed ulp-tie cases.
 """
 
 from __future__ import annotations
