@@ -110,6 +110,93 @@ def bench_host(data: np.ndarray):
     return ours, ref
 
 
+def probe_backend(timeout: int = 240):
+    """Probe TPU backend init in a SUBPROCESS with a bounded timeout so a hung
+    PJRT client creation (axon tunnel down: hangs >25 min, VERDICT r3) can
+    never hang the bench itself. Returns (backend|None, status string)."""
+    code = ("import jax,numpy as np,jax.numpy as jnp;"
+            "x=jax.device_put(np.ones((8,128),np.float32));"
+            "print('BACKEND',jax.default_backend(),float(jnp.sum(x)))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout, env=_DEVICE_ENV)
+    except subprocess.TimeoutExpired:
+        return None, f"probe timeout >{timeout}s (tunnel hang in PJRT init)"
+    except Exception as e:  # pragma: no cover
+        return None, f"probe failed to launch: {e}"
+    if r.returncode == 0 and "BACKEND" in r.stdout:
+        backend = r.stdout.split("BACKEND", 1)[1].split()[0]
+        return backend, f"ok:{backend}"
+    err = (r.stderr or "").strip().splitlines()
+    return None, "probe init failed: " + (err[-1][:300] if err else f"rc={r.returncode}")
+
+
+# Environment for device subprocesses: the ORIGINAL env (before the parent
+# pins itself to CPU) so the TPU plugin resolves normally there.
+_DEVICE_ENV = dict(os.environ)
+
+
+def run_device_benches(budget: int):
+    """Run every device bench in ONE subprocess (`bench.py --device`) with a
+    hard timeout. The parent process NEVER initializes the TPU backend, so a
+    tunnel death mid-bench can only lose device numbers, never the metric.
+    Returns a device_status string; per-stage results stream to stderr and
+    arrive as JSON lines on the child's stdout."""
+    results = {}
+    try:
+        r = subprocess.run([sys.executable, __file__, "--device"],
+                           capture_output=True, text=True, timeout=budget,
+                           env=_DEVICE_ENV)
+        out, errtxt, status = r.stdout, r.stderr, ("ok" if r.returncode == 0
+                                                   else f"device bench rc={r.returncode}")
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        errtxt = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        status = f"device bench timeout >{budget}s (partial results kept)"
+    if errtxt:
+        sys.stderr.write(errtxt)
+        sys.stderr.flush()
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                results.update(json.loads(line))
+            except Exception:
+                pass
+    return status, results
+
+
+def device_main():
+    """Child entry (`bench.py --device`): all TPU benches. Each stage emits a
+    JSON line on stdout as it completes so a later hang loses nothing."""
+    data = nyx_like(SIZE)
+    nbytes = data.nbytes
+
+    def emit(**kw):
+        print(json.dumps(kw), flush=True)
+
+    try:
+        dev = bench_device(data)
+        if dev is not None:
+            denc, ddec = dev
+            log(f"TPU device pipeline (amortized over 10 chained iters, "
+                f"exact-f64 parity mode): "
+                f"encode {denc*1e3:.2f} ms -> {nbytes/denc/1e9:.2f} GB/s/chip, "
+                f"decode {ddec*1e3:.2f} ms -> {nbytes/ddec/1e9:.2f} GB/s/chip")
+            emit(pipeline_enc_gbs=round(nbytes / denc / 1e9, 2),
+                 pipeline_dec_gbs=round(nbytes / ddec / 1e9, 2))
+    except Exception as e:
+        log("device pipeline bench failed:", e)
+    for fn in (bench_device_entropy, bench_device_decode, bench_wavefront_decode):
+        try:
+            res = fn(data, nbytes)
+            if res:
+                emit(**res)
+        except Exception as e:  # each fn also guards internally
+            log(f"{fn.__name__} failed:", e)
+    return 0
+
+
 def bench_device(data: np.ndarray):
     """Pure device-compute throughput of the quantization pipeline (the part
     that runs on the TPU; entropy/IO stages are host-side). K iterations are
@@ -202,52 +289,79 @@ def bench_device(data: np.ndarray):
 
 
 def main():
-    data = nyx_like(SIZE)
-    nbytes = data.nbytes
-    log(f"field: {data.shape} f32 ({nbytes/1e6:.0f} MB), ABS eb={EB}")
+    # The parent process pins itself to the CPU backend AFTER snapshotting the
+    # device env (_DEVICE_ENV at import time): host benches never touch the
+    # TPU plugin, so a dead tunnel cannot hang or crash the metric path.
+    # NOTE: the axon plugin's register() sets jax_platforms="axon,cpu" via
+    # jax.config at interpreter startup, which overrides the env var — the
+    # config update below is the one that actually sticks.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    gbs = vs = None
+    device_status = "not probed"
+    device_results = {}
+    err_note = None
+    try:
+        data = nyx_like(SIZE)
+        nbytes = data.nbytes
+        log(f"field: {data.shape} f32 ({nbytes/1e6:.0f} MB), ABS eb={EB}")
 
-    ours, ref = bench_host(data)
-    enc, dec, size = ours
-    gbs = 2 * nbytes / (enc + dec) / 1e9
-    log(f"sz3-tpu native: enc {enc:.2f}s dec {dec:.2f}s size {size} "
-        f"(ratio {nbytes/size:.2f}) -> {gbs:.3f} GB/s")
+        try:
+            ours, ref = bench_host(data)
+            enc, dec, size = ours
+            gbs = 2 * nbytes / (enc + dec) / 1e9
+            log(f"sz3-tpu native: enc {enc:.2f}s dec {dec:.2f}s size {size} "
+                f"(ratio {nbytes/size:.2f}) -> {gbs:.3f} GB/s")
+            if ref:
+                renc, rdec, rsize = ref
+                rgbs = 2 * nbytes / (renc + rdec) / 1e9
+                vs = gbs / rgbs
+                log(f"reference sz3: enc {renc:.2f}s dec {rdec:.2f}s size {rsize} -> {rgbs:.3f} GB/s")
+                log(f"size parity: ours {size} vs ref {rsize} ({'EQUAL' if size == rsize else 'DIFFERENT'})")
+        except Exception as e:
+            err_note = f"host bench failed: {e}"
+            log(err_note)
 
-    vs = None
-    if ref:
-        renc, rdec, rsize = ref
-        rgbs = 2 * nbytes / (renc + rdec) / 1e9
-        vs = gbs / rgbs
-        log(f"reference sz3: enc {renc:.2f}s dec {rdec:.2f}s size {rsize} -> {rgbs:.3f} GB/s")
-        log(f"size parity: ours {size} vs ref {rsize} ({'EQUAL' if size == rsize else 'DIFFERENT'})")
+        # parallel-vs-parallel supplement: our chunked mode vs reference OpenMP
+        nthreads = os.cpu_count() or 1
+        if nthreads <= 1:
+            log("chunked bench skipped: single-CPU host")
+        else:
+            bench_chunked(data, nthreads, nbytes)
 
-    # parallel-vs-parallel supplement: our chunked mode vs reference OpenMP
-    nthreads = os.cpu_count() or 1
-    if nthreads <= 1:
-        log("chunked bench skipped: single-CPU host")
-    else:
-        bench_chunked(data, nthreads, nbytes)
-
-    dev = bench_device(data)
-    if dev is not None:
-        denc, ddec = dev
-        log(f"TPU device pipeline (amortized over 10 chained iters, "
-            f"exact-f64 parity mode; SZT_EXACT_F64=0 fast mode reaches "
-            f"16-22 GB/s/chip, see BASELINE.md): "
-            f"encode {denc*1e3:.2f} ms -> {nbytes/denc/1e9:.2f} GB/s/chip, "
-            f"decode {ddec*1e3:.2f} ms -> {nbytes/ddec/1e9:.2f} GB/s/chip")
-
-    bench_device_entropy(data, nbytes)
-
-    bench_device_decode(data, nbytes)
-
-    bench_wavefront_decode(data, nbytes)
-
-    print(json.dumps({
-        "metric": f"encode+decode GB/s ({SIZE}^3 f32, ABS {EB}, default algo)",
-        "value": round(gbs, 4),
-        "unit": "GB/s",
-        "vs_baseline": round(vs, 3) if vs else None,
-    }))
+        # Device benches: probe first (bounded subprocess), then run them all
+        # in one killable subprocess. A tunnel hang costs device numbers only.
+        if os.environ.get("SZT_BENCH_NO_DEVICE") == "1":
+            device_status = "disabled (SZT_BENCH_NO_DEVICE=1)"
+        else:
+            backend, device_status = probe_backend(
+                timeout=int(os.environ.get("SZT_BENCH_PROBE_TIMEOUT", "240")))
+            log(f"device probe: {device_status}")
+            if backend == "tpu":
+                budget = int(os.environ.get("SZT_BENCH_DEVICE_BUDGET", "2400"))
+                device_status, device_results = run_device_benches(budget)
+            elif backend is not None:
+                device_status = f"no TPU (backend={backend}); device benches skipped"
+    except Exception as e:  # belt and braces: the metric line must print
+        err_note = f"bench crashed: {e}"
+        log(err_note)
+    finally:
+        out = {
+            "metric": f"encode+decode GB/s ({SIZE}^3 f32, ABS {EB}, default algo)",
+            "value": round(gbs, 4) if gbs else None,
+            "unit": "GB/s",
+            "vs_baseline": round(vs, 3) if vs else None,
+            "device_status": device_status,
+        }
+        if device_results:
+            out["device"] = device_results
+        if err_note:
+            out["error"] = err_note
+        print(json.dumps(out), flush=True)
 
 
 def bench_device_entropy(data, nbytes):
@@ -296,6 +410,9 @@ def bench_device_entropy(data, nbytes):
             f"payload readback at the measured {d2h_gbs:.3f} GB/s tunnel D2H "
             f"-> device compute ~{compute*1e3:.0f} ms "
             f"({nbytes/compute/1e9:.2f} GB/s/chip)")
+        return {"entropy_enc_wall_gbs": round(nbytes / wall / 1e9, 3),
+                "entropy_enc_compute_gbs": round(nbytes / compute / 1e9, 2),
+                "d2h_gbs": round(d2h_gbs, 3)}
     except Exception as e:
         log("device-entropy bench skipped:", e)
 
@@ -339,6 +456,8 @@ def bench_device_decode(data, nbytes):
         log(f"TPU device-entropy decode (archive->array, bit-walk on-chip): "
             f"wall {wall*1e3:.0f} ms ({nbytes/wall/1e9:.2f} GB/s) vs host "
             f"engine {host*1e3:.0f} ms ({nbytes/host/1e9:.2f} GB/s)")
+        return {"dev_decode_wall_gbs": round(nbytes / wall / 1e9, 3),
+                "host_decode_gbs": round(nbytes / host / 1e9, 3)}
     except Exception as e:
         log("device-decode bench skipped:", e)
 
@@ -401,6 +520,8 @@ def bench_wavefront_decode(data, nbytes):
         log(f"TPU wavefront LORENZO_REG decode ({shp}): device scan "
             f"{scan_t*1e3:.1f} ms -> {nbytes/scan_t/1e9:.2f} GB/s/chip; "
             f"end-to-end wall {wall:.2f}s (host engine {host_dec:.2f}s)")
+        return {"wavefront_scan_gbs": round(nbytes / scan_t / 1e9, 2),
+                "wavefront_wall_s": round(wall, 2)}
     except Exception as e:
         log("wavefront decode bench skipped:", e)
 
@@ -424,4 +545,6 @@ def bench_chunked(data, nthreads, nbytes):
 
 
 if __name__ == "__main__":
+    if "--device" in sys.argv[1:]:
+        sys.exit(device_main())
     main()

@@ -43,7 +43,10 @@ from .device_encode import Fallback, _fall
 
 @lru_cache(maxsize=16)
 def _static_dec(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
-                quantbin_cnt, dtype_name):
+                quantbin_cnt, dtype_name, screen=False):
+    # `screen` = field-screen verdict for the pow2 softfloat bypass (see
+    # device_encode._static): part of the key because the lazy trace of
+    # `finish` reads it via ops.quantize's contextvar.
     plan = build_fast_plan(dims, interp_algo=interp_algo, direction=direction,
                            anchor_stride=anchor_stride, alpha=alpha, beta=beta,
                            eb=eb, quantbin_cnt=quantbin_cnt)
@@ -121,20 +124,27 @@ def decode_payload_device(conf: Config, payload: bytes, dtype) -> np.ndarray:
         raise _fall("device decode path is f32-only")
     # static gates BEFORE the payload open: a fallback here must not pay the
     # zstd decompress twice (the host path re-opens on fallback)
-    need, finish = _static_dec(tuple(conf.dims), int(conf.interpAlgo),
-                               conf.interpDirection, conf.interpAnchorStride,
-                               conf.interpAlpha, conf.interpBeta,
-                               conf.absErrorBound, conf.quantbinCnt,
-                               np.dtype(dtype).name)
+    statics = (tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection,
+               conf.interpAnchorStride, conf.interpAlpha, conf.interpBeta,
+               conf.absErrorBound, conf.quantbinCnt, np.dtype(dtype).name)
+    need, finish = _static_dec(*statics)
     if finish is None:
         raise _fall("no anchor grid")
     bits, count, offset, codes, lens, const_sym, unpred = \
         runtime.open_packed(conf, payload, dtype, algo=2)
     if count != need:
         raise _fall(f"archived count {count} != layout count {need}")
+    # Decode-side field screen for the pow2 softfloat bypass: the inputs the
+    # flush-safety proof must clear are the literal stream values (the
+    # quantized lattice is safe by the eb argument — quantize.pow2_sha_safe).
+    from ..ops import quantize as qz
+    screen = (qz.pow2_sha_safe(conf.absErrorBound, conf.quantbinCnt // 2)
+              and qz.screen_ok(unpred))
+    if screen:  # re-key the jit variant on the screen verdict
+        need, finish = _static_dec(*statics, screen)
     n_lit = unpred.size
     dev = exec_device()
-    with _maybe_on(dev):
+    with _maybe_on(dev), qz.screened(screen):
         dense = _dense_bins(bits, count, offset, codes, lens, const_sym)
         out, nzero = finish(dense, jnp.asarray(_pad_unpred(unpred, dtype)))
         out = np.asarray(out)
@@ -189,9 +199,14 @@ def decode_payload_device_biomd(conf: Config, payload: bytes,
     acols = atoms * cols
     bins0 = bins[:acols].reshape(atoms, cols)
     n0 = int((bins0 == 0).sum())
-    recon0 = runtime.biomd_frame0_open(eb, radius, site, bins0, unpred[:n0])
     bins_rest = bins[acols:last * acols].reshape(last - 1, atoms, cols)
     n_rest = int((bins_rest == 0).sum())
+    if unpred.size < n0 + n_rest:
+        # short/corrupt literal stream: fall back (counted) rather than crash
+        # inside decode_frames' lit[bins==0] = unpred placement
+        raise _fall(f"biomd literal stream {unpred.size} < zero bins "
+                    f"{n0 + n_rest}")
+    recon0 = runtime.biomd_frame0_open(eb, radius, site, bins0, unpred[:n0])
     recs = bd.decode_frames(bins_rest, unpred[n0:n0 + n_rest], recon0,
                             eb, radius, site)
     out = np.empty((frames, atoms, cols), np.float32)

@@ -67,7 +67,11 @@ def _cap_rows(num: int) -> int:
 
 @lru_cache(maxsize=16)
 def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
-            quantbin_cnt, dtype_name):
+            quantbin_cnt, dtype_name, screen=False):
+    # `screen` is the field-screen verdict (ops/quantize.screened): it joins
+    # the cache key because the jits trace quantize() under the contextvar —
+    # a trace made with the pow2 bypass live must never serve an unscreened
+    # field. The jit bodies don't read it; only the lazy first-call trace does.
     plan = build_fast_plan(dims, interp_algo=interp_algo, direction=direction,
                            anchor_stride=anchor_stride, alpha=alpha, beta=beta,
                            eb=eb, quantbin_cnt=quantbin_cnt)
@@ -184,10 +188,18 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
         else np.dtype(data.dtype)
     if dtype != np.float32:
         raise _fall("device entropy path is f32-only")
+    from ..ops import quantize as qz
+
+    # Field screen for the pow2 softfloat bypass: evaluated on the concrete
+    # data (host numpy, or one device reduce for serving arrays), keyed into
+    # the jit cache, and published for the lazy first-call trace.
+    screen = (qz.pow2_sha_safe(conf.absErrorBound, conf.quantbinCnt // 2)
+              and qz.screen_ok(data))
     plan, lp, jits = _static(tuple(conf.dims), int(conf.interpAlgo),
                              conf.interpDirection, conf.interpAnchorStride,
                              conf.interpAlpha, conf.interpBeta,
-                             conf.absErrorBound, conf.quantbinCnt, dtype.name)
+                             conf.absErrorBound, conf.quantbinCnt, dtype.name,
+                             screen)
     if lp is None:
         raise _fall("no anchor grid")
     jit_a, jit_b, nc, mp, cap_rows = jits
@@ -195,7 +207,7 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
 
     from ..ops.interp_fast import _maybe_on, exec_device
     dev = exec_device()
-    with _maybe_on(dev):
+    with _maybe_on(dev), qz.screened(screen):
         x = data if isinstance(data, jax.Array) else jnp.asarray(
             np.ascontiguousarray(data).reshape(conf.dims))
         bins_stream, hist, lits, nlit = jit_a(x)

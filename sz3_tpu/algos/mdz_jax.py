@@ -207,6 +207,11 @@ def _select(ts: int, batch_frames: int, atoms: int, abs_eb: float,
     else:
         trial(3)
     trial(2)
+    if not (sizes < np.iinfo(np.int64).max).any():
+        # every trial raised: argmin would return method 0 (VQ) even when
+        # ln == 0 and _run_method(0) then raises a RuntimeError that escapes
+        # mdz_compress_jax — route to the host engine instead
+        raise _fall("mdz select: no trial method succeeded on device")
     return int(np.argmin(sizes))
 
 

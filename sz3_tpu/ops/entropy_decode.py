@@ -74,7 +74,7 @@ L1_ROWS = (1 << L1_BITS) // 128        # 16
 ESC = 63                            # len-field marker for escape entries
 EYT_LEVELS = 13                     # binary-search depth: <= 8191 deep codes
 DEEP_CAP = 1 << EYT_LEVELS          # padded deep-code capacity
-DEEP_ROWS = DEEP_CAP // 128         # 32
+DEEP_ROWS = DEEP_CAP // 128         # 64
 MAXLEN = 32                         # encoder format gate; full coverage
 
 CAP_CLASSES = (384, 512, 640, 1152)  # scan steps (multiples of 128)
@@ -139,6 +139,15 @@ def build_decode_tables(codes: np.ndarray, lens: np.ndarray, offset: int):
     dlen = L[deepm][order]
     deep = np.zeros(DEEP_CAP, np.int32)
     deep[:ndeep] = (dsym.astype(np.int64) << 6) | dlen
+    if ndeep:
+        # Rank overshoot guard: the pad pivots are INT32_MAX in the signed
+        # domain and the search routes RIGHT on equality (wu >= piv), so an
+        # all-ones window under a deep escape prefix ranks past the real
+        # codes. Pad the entry table with the LAST real code instead of
+        # len-0 zeros: the lane keeps consuming bits and the speculative
+        # window validation rejects any wrong decode — instead of stalling
+        # through all passes into DecodeFallback (pathological latency).
+        deep[ndeep:] = deep[ndeep - 1]
     # pivots padded with +inf so the search routes left past the real codes
     piv = np.full(DEEP_CAP, 0xFFFFFFFF, np.uint64)
     piv[:ndeep] = cl

@@ -50,9 +50,19 @@ def pow2_sha_safe(eb, radius: int) -> bool:
         spans <= 53 bits (exponent gap <= 29) and irrelevant when it spans
         more (the addend is then < ulp32(pred)/32, both roundings give pred);
       * the verify compare err <= eb compares two exactly-represented values.
-    Residual precondition: no subnormal f32 reconstructions (TPU f32 ops
-    flush-to-zero; IEEE keeps gradual underflow) — scientific data in the
-    normal range satisfies this; eb's exponent bound keeps q*eb normal."""
+    Residual precondition — flush-to-zero (TPU) vs gradual underflow (IEEE):
+    enforced at runtime via the FIELD SCREEN (screen_ok/screened below). With
+    eb = 2^k >= 2^-100 the quantizer's own chain can never LAND in the
+    subnormal range: dec = pred + q*eb with q != 0 forces |pred| >= 2*eb -
+    2^-126, so pred is a multiple of 2^(k-23) and q*eb of 2^(k+1) — dec is 0
+    or >= 2^(k-23) >= 2^-123, never in (0, 2^-126); a subnormal-exact diff
+    (data - pred) flushes harmlessly because int(|diff|/eb) = 0 and the err
+    compare accepts on both sides of the flush. The only remaining hazard is
+    subnormal INPUT values (TPU ops treat subnormal operands as zero, DAZ),
+    which the field screen excludes. In auto mode the bypass therefore fires
+    only when the screen has positively cleared the field's data (encode) or
+    literal streams (decode); SZT_POW2_BYPASS=1 force-asserts the screen,
+    =0 disables the bypass outright."""
     if not isinstance(eb, float) or not (eb > 0):
         return False
     bits = int(np.float64(eb).view(np.uint64))
@@ -62,10 +72,77 @@ def pow2_sha_safe(eb, radius: int) -> bool:
     return frac == 0 and -100 <= k <= 100 and 2 * radius <= (1 << 24)
 
 
+# --- field screen: no subnormal / non-finite f32 inputs ---------------------
+# The pow2 bypass's flush-safety proof needs every INPUT value (raw data on
+# encode, literal streams on decode) to be zero, normal, or +-0.0 — TPU ops
+# flush subnormal operands (DAZ) where IEEE keeps them, which is the one
+# divergence the eb-lattice argument cannot exclude. Entry points that hold
+# the concrete arrays evaluate screen_ok() once per field and publish the
+# verdict here; quantize()/recover() consult it at trace time. Default is
+# None = unscreened = NOT safe (softfloat), so forgetting to screen can only
+# cost speed, never parity.
+import contextlib
+import contextvars
+
+_FIELD_SCREEN: contextvars.ContextVar = contextvars.ContextVar(
+    "szt_field_screen", default=None)
+
+_FLT_MIN = float(np.finfo(np.float32).tiny)  # 2^-126
+
+
+def screen_ok(*arrays) -> bool:
+    """True iff every float32 array is free of NaN/Inf and of nonzero values
+    with magnitude < 2^-126 (f32 subnormals). Device arrays reduce on-device
+    (one scalar readback); host arrays reduce in numpy. Non-f32 arrays pass
+    (the bypass only applies to f32 data)."""
+    for a in arrays:
+        if a is None or getattr(a, "dtype", None) != np.float32 or a.size == 0:
+            continue
+        if isinstance(a, np.ndarray):
+            absa = np.abs(a)
+            bad = (~np.isfinite(a)) | ((absa > 0) & (absa < _FLT_MIN))
+            if bool(bad.any()):
+                return False
+        else:
+            # bit test, NOT value test: XLA backends themselves flush f32
+            # subnormals in arithmetic (the very behavior being screened),
+            # so jnp.abs(x) < FLT_MIN would miss them. Bitcast reads raw bits.
+            b = jax.lax.bitcast_convert_type(a, jnp.int32) & jnp.int32(
+                0x7FFFFFFF)
+            bad = ((b > 0) & (b < jnp.int32(0x00800000))) | (
+                b >= jnp.int32(0x7F800000))
+            if bool(jnp.any(bad)):
+                return False
+    return True
+
+
+@contextlib.contextmanager
+def screened(ok: bool):
+    """Publish a field-screen verdict for the enclosed trace/execution."""
+    tok = _FIELD_SCREEN.set(bool(ok))
+    try:
+        yield
+    finally:
+        _FIELD_SCREEN.reset(tok)
+
+
+def _bypass_auto(eb, radius: int) -> bool:
+    """Auto-mode pow2 bypass decision: env override, else static predicate
+    AND a positive field screen."""
+    mode = os.environ.get("SZT_POW2_BYPASS", "auto")
+    if mode == "0":
+        return False
+    if not pow2_sha_safe(eb, radius):
+        return False
+    if mode == "1":  # user asserts the data is subnormal-free
+        return True
+    return _FIELD_SCREEN.get() is True
+
+
 def quantize(data, pred, eb, radius: int):
     if (exact_mode(eb) and data.dtype == jnp.float32
             and not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
-                     and pow2_sha_safe(eb, radius))):
+                     and _bypass_auto(eb, radius))):
         from .exactf64 import quantize_exact
         return quantize_exact(data, pred, eb, radius)
     return _quantize_native(data, pred, eb, radius)
@@ -102,7 +179,7 @@ def _quantize_native(data, pred, eb, radius: int):
 def recover(pred, bins, literal, eb, radius: int):
     if (exact_mode(eb) and pred.dtype == jnp.float32
             and not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
-                     and pow2_sha_safe(eb, radius))):
+                     and _bypass_auto(eb, radius))):
         from .exactf64 import recover_exact
         return recover_exact(pred, bins, literal, eb, radius)
     return _recover_native(pred, bins, literal, eb, radius)

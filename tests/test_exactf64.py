@@ -316,12 +316,97 @@ def test_pow2_sha_safe_predicate_and_routing(monkeypatch):
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
     pred = jnp.zeros(4096, jnp.float32)
-    b_fast, r_fast = q.quantize(data, pred, 2.0 ** -10, 32768)
+    # the auto bypass additionally requires a POSITIVE field screen (the
+    # flush-safety precondition is data-dependent: no subnormal inputs)
+    with q.screened(True):
+        b_fast, r_fast = q.quantize(data, pred, 2.0 ** -10, 32768)
     assert "hit" not in called                     # fast path taken
     b_soft, r_soft = orig(data, pred, 2.0 ** -10, 32768)
     assert np.array_equal(np.asarray(b_fast), np.asarray(b_soft))
     assert np.asarray(r_fast).tobytes() == np.asarray(r_soft).tobytes()
+    # unscreened (default) -> softfloat even for pow2 eb
+    q.quantize(data, pred, 2.0 ** -11, 32768)
+    assert called.pop("hit")
+    # negative screen -> softfloat
+    with q.screened(False):
+        q.quantize(data, pred, 2.0 ** -12, 32768)
+    assert called.pop("hit")
+    # SZT_POW2_BYPASS=0 disables even with a positive screen
+    monkeypatch.setenv("SZT_POW2_BYPASS", "0")
+    with q.screened(True):
+        q.quantize(data, pred, 2.0 ** -13, 32768)
+    assert called.pop("hit")
+    # SZT_POW2_BYPASS=1 force-asserts the screen (user-declared safe data)
+    monkeypatch.setenv("SZT_POW2_BYPASS", "1")
+    q.quantize(data, pred, 2.0 ** -14, 32768)
+    assert "hit" not in called
+    monkeypatch.delenv("SZT_POW2_BYPASS")
     # non-pow2 under forced exact still routes softfloat
     monkeypatch.setenv("SZT_EXACT_F64", "1")
     q.quantize(data, pred, 1e-3, 32768)
     assert called.get("hit")
+
+
+def test_field_screen_subnormals():
+    """screen_ok: clears normal-range fields (zeros allowed — the eb-lattice
+    argument covers them), rejects subnormals (TPU DAZ divergence), NaN, Inf;
+    non-f32 arrays pass through (bypass is f32-scoped)."""
+    from sz3_tpu.ops.quantize import screen_ok
+
+    ok = np.array([0.0, 1.0, -3.5e-30, 1.2e38, np.float32(2 ** -126)],
+                  np.float32)
+    assert screen_ok(ok)
+    assert screen_ok(np.zeros(0, np.float32))
+    assert screen_ok(None)
+    assert screen_ok(np.array([1, 2], np.int32))   # non-f32: not screened
+    assert not screen_ok(np.array([1.0, 1e-45], np.float32))      # subnormal
+    assert not screen_ok(np.array([np.nan], np.float32))
+    assert not screen_ok(np.array([np.inf, 1.0], np.float32))
+    assert not screen_ok(ok, np.array([-1e-40], np.float32))      # any-array
+    # device arrays reduce on-device
+    assert screen_ok(jnp.asarray(ok))
+    assert not screen_ok(jnp.asarray(np.array([1e-44], np.float32)))
+
+
+def test_pow2_screen_end_to_end(monkeypatch):
+    """A subnormal-laden field must take the softfloat on the device INTERP
+    route even with a pow2 eb (ADVICE r3 medium): archives stay byte-equal to
+    the host engine's. A clean field with pow2 eb rides the bypass."""
+    import sz3_tpu as szt
+    from sz3_tpu.config import ALGO, Config
+    import sz3_tpu.ops.exactf64 as xf
+
+    monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")  # force device route (CPU interpret)
+    monkeypatch.setenv("SZT_EXACT_F64", "auto")
+    rng = np.random.default_rng(7)
+    shape = (16, 16, 16)
+    clean = rng.standard_normal(shape).astype(np.float32)
+    dirty = clean.copy()
+    dirty[3, 5, 7] = 1e-42                          # f32 subnormal
+    calls = []
+    orig = xf.quantize_exact
+    monkeypatch.setattr(xf, "quantize_exact",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    import sz3_tpu.ops.quantize as q
+    monkeypatch.setattr(q, "exact_mode", lambda eb: True)
+
+    def conf():
+        c = Config(dims=shape, cmprAlgo=ALGO.INTERP, absErrorBound=2.0 ** -10)
+        c.interpAnchorStride = 8
+        # alpha=1 keeps every interp level's eb at the pow2 bound (the
+        # default 1.25 gives eb/1.25^i levels, which correctly stay softfloat)
+        c.interpAlpha = 1.0
+        c.interpBeta = 1.0
+        return c
+
+    from sz3_tpu.algos import device_encode
+    device_encode._static.cache_clear()
+    blob_clean = szt.compress(clean, conf(), backend="jax")
+    assert not calls                                # bypass engaged
+    blob_dirty = szt.compress(dirty, conf(), backend="jax")
+    assert calls                                    # softfloat engaged
+    # both must decode exactly like the host engine's archives
+    host_clean = szt.compress(clean, conf(), backend="native")
+    host_dirty = szt.compress(dirty, conf(), backend="native")
+    assert blob_clean == host_clean
+    assert blob_dirty == host_dirty
