@@ -206,11 +206,27 @@ def _device_blockwise_mode() -> str:
 
 
 def _blockwise_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
-    from ..ops.blockwise_device import encode_blocks
+    """LORENZO_REG device encode. Mode auto (default): the speculative
+    anti-diagonal wavefront (ops/blockwise_wavefront_encode.py — one skewed
+    scan of depth NX+NY+NZ, selection validated against the true
+    reconstruction, host fallback when the fixpoint is not certified).
+    Mode 1: the block-sequential lax.scan (ops/blockwise_device.py), the
+    parity oracle for the wavefront."""
     data = data.reshape(conf.dims)
-    bins, sel, regb, qlu, qiu, unp = encode_blocks(
-        data, conf.absErrorBound, conf.quantbinCnt // 2,
-        conf.lorenzo, conf.lorenzo2, conf.regression)
+    if _device_blockwise_mode() == "auto":
+        from ..ops.blockwise_wavefront_encode import (Fallback,
+                                                      encode_blocks_wavefront)
+        try:
+            bins, sel, regb, qlu, qiu, unp = encode_blocks_wavefront(
+                data, conf.absErrorBound, conf.quantbinCnt // 2,
+                conf.lorenzo, conf.lorenzo2, conf.regression)
+        except Fallback:
+            return runtime.compress_payload(conf, data, cap)  # host engine
+    else:
+        from ..ops.blockwise_device import encode_blocks
+        bins, sel, regb, qlu, qiu, unp = encode_blocks(
+            data, conf.absErrorBound, conf.quantbinCnt // 2,
+            conf.lorenzo, conf.lorenzo2, conf.regression)
     return runtime.blockwise_seal(conf, bins, sel, regb, qlu, qiu, unp, cap)
 
 
@@ -292,7 +308,7 @@ def compress_payload_jax(conf: Config, data: np.ndarray, cap: int,
                 raise
             conf.cmprAlgo = ALGO.LOSSLESS
             return runtime.zstd_compress(data.tobytes())
-    elif (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() == "1"
+    elif (conf.cmprAlgo == ALGO.LORENZO_REG and _device_blockwise_mode() != "0"
           and data.dtype == np.float32 and len(conf.dims) == 3):
         try:
             payload = _blockwise_encode_payload(conf, data, cap)

@@ -886,6 +886,34 @@ int szt_blockwise_coef_chain(double eb_ql, double eb_qi, uint64_t ncommit,
     }
 }
 
+// Encode counterpart of szt_blockwise_coef_chain for the device wavefront
+// ENCODE (ops/blockwise_wavefront_encode.py): raw least-squares coefficients
+// of the committing blocks (row-major commit order) -> quantized bins + the
+// reconstructed coefficients the element sweep predicts with (reference
+// RegressionPredictor.hpp:148-155). Matches LinearQuantizer by-reference
+// semantics: on a successful quantize the coefficient becomes its
+// reconstruction; on overflow the bin is 0 and the RAW value carries forward
+// (and becomes the literal — the caller recovers literals as raw[bins==0]).
+int szt_blockwise_coef_chain_encode(double eb_ql, double eb_qi, uint64_t ncommit,
+                                    const float* raw, int32_t* bins_out,
+                                    float* recon_out, char* err, uint64_t errcap) {
+    try {
+        LinearQuantizer<float> ql(eb_ql), qi(eb_qi);
+        float prev[4] = {0, 0, 0, 0};
+        for (uint64_t b = 0; b < ncommit; b++) {
+            for (int k = 0; k < 4; k++) {
+                float cur = raw[b * 4 + k];
+                bins_out[b * 4 + k] = (k < 3 ? ql : qi).quantize(cur, prev[k]);
+                prev[k] = cur;  // recon on success, raw on overflow
+                recon_out[b * 4 + k] = cur;
+            }
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- BioMD device-path split (f32; see ops/biomd_device.py) ------------------
 
 // frame-0 scalar atom chain: data(atoms*cols) -> bins + recon (caller buffers)

@@ -155,6 +155,10 @@ def lib() -> C.CDLL:
         l.szt_blockwise_coef_chain.argtypes = [C.c_double, C.c_double, u64, C.c_void_p,
                                                C.c_void_p, u64, C.c_void_p, u64,
                                                C.c_void_p, C.c_char_p, u64]
+        l.szt_blockwise_coef_chain_encode.restype = C.c_int
+        l.szt_blockwise_coef_chain_encode.argtypes = [C.c_double, C.c_double, u64,
+                                                      C.c_void_p, C.c_void_p,
+                                                      C.c_void_p, C.c_char_p, u64]
         l.szt_biomd_frame0.restype = C.c_int
         l.szt_biomd_frame0.argtypes = [C.c_double, C.c_int32, C.c_int32, C.c_void_p,
                                        u64, u64, C.c_void_p, C.c_void_p,
@@ -620,6 +624,25 @@ def blockwise_coef_chain(eb_ql: float, eb_qi: float, regb: np.ndarray,
     if rc != 0:
         raise RuntimeError(f"szt_blockwise_coef_chain: {err.value.decode()}")
     return out
+
+
+def blockwise_coef_chain_encode(eb_ql: float, eb_qi: float,
+                                raw: np.ndarray):
+    """Run the sequential regression coefficient chain forward (native):
+    raw coefficients (ncommit, 4) f32 in commit order -> (bins (ncommit, 4)
+    i32, recon (ncommit, 4) f32). Literals are raw[bins == 0] in the k-inner
+    commit order (ql: k<3, qi: k==3)."""
+    raw = np.ascontiguousarray(raw, np.float32).reshape(-1, 4)
+    bins = np.empty((raw.shape[0], 4), np.int32)
+    recon = np.empty((raw.shape[0], 4), np.float32)
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_blockwise_coef_chain_encode(
+        C.c_double(eb_ql), C.c_double(eb_qi), C.c_uint64(raw.shape[0]),
+        raw.ctypes.data_as(C.c_void_p), bins.ctypes.data_as(C.c_void_p),
+        recon.ctypes.data_as(C.c_void_p), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_blockwise_coef_chain_encode: {err.value.decode()}")
+    return bins, recon
 
 
 def biomd_frame0(eb: float, radius: int, site: int, frame: np.ndarray):
