@@ -119,9 +119,12 @@ def _dense_bins(bits: bytes, count: int, offset: int, codes, lens,
 
 
 def decode_payload_device(conf: Config, payload: bytes, dtype) -> np.ndarray:
-    """INTERP payload -> array with the whole decode on-device."""
-    if np.dtype(dtype) != np.float32:
-        raise _fall("device decode path is f32-only")
+    """INTERP payload -> array with the whole decode on-device (f32/f64; the
+    f64 literal scatter and recover are dtype-parameterized throughout — on
+    IEEE-f64 backends the output is bit-identical to the host engine's, on
+    TPU f64 rides the float-float emulation like the non-packed route)."""
+    if np.dtype(dtype) not in (np.float32, np.float64):
+        raise _fall("device decode path is float-only")
     # static gates BEFORE the payload open: a fallback here must not pay the
     # zstd decompress twice (the host path re-opens on fallback)
     statics = (tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection,

@@ -85,6 +85,8 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
         num *= d
     cap_rows = _cap_rows(num)
 
+    wide = np.dtype(dtype_name) == np.float64
+
     @jax.jit
     def jit_a(x):
         bins_list, _b0, _ = encode_grid_fast(x, plan)
@@ -99,9 +101,26 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
         bins_stream = jnp.pad(bins_stream, (0, pad), constant_values=SENTINEL)
         orig_stream = jnp.pad(orig_stream, (0, pad))
         wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
+        if wide:
+            # f64 literals through the (Mosaic f64-free) kernel: bitcast to
+            # lo/hi i32 half-streams, compact each with the same bins (the
+            # compaction pattern depends only on the bins), recombine on host
+            halves = jax.lax.bitcast_convert_type(orig_stream, jnp.int32)
+            hist, lits_lo, nlit = ed.hist_and_literals(
+                bins_stream, halves[:, 0], wlo, cap_rows)
+            # the hi half compacts in jit_a_hi: two pallas calls in ONE
+            # program segfault XLA:CPU's interpret-mode execution
+            return bins_stream, hist, (lits_lo, halves[:, 1]), nlit
         hist, lits, nlit = ed.hist_and_literals(bins_stream, orig_stream, wlo,
                                                 cap_rows)
         return bins_stream, hist, lits, nlit
+
+    @jax.jit
+    def jit_a_hi(bins_stream, hi_stream):
+        wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
+        _, lits_hi, _ = ed.hist_and_literals(bins_stream, hi_stream, wlo,
+                                             cap_rows)
+        return lits_hi
 
     out_sub = mp // 128 + 256
 
@@ -110,7 +129,7 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
         wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
         return ed.pack_bits(bins_stream, tc, tl, wlo, c0, nc, out_sub)
 
-    return plan, lp, (jit_a, jit_b, nc, mp, cap_rows)
+    return plan, lp, (jit_a, jit_b, nc, mp, cap_rows, jit_a_hi)
 
 
 def _tree_and_tables(hist, nlit, cap_rows: int, quantbin_cnt: int, num: int):
@@ -176,9 +195,15 @@ def _stream_bytes(words, total_bits: int) -> bytes:
 
 
 def _literals(lits, n_lit: int, dtype) -> np.ndarray:
+    if n_lit == 0:
+        return np.zeros(0, dtype)
     lit_rows = -(-n_lit // 128)
-    return np.asarray(lits[:lit_rows]).ravel()[:n_lit] if n_lit else \
-        np.zeros(0, dtype)
+    if isinstance(lits, tuple):  # f64: recombine the lo/hi i32 half-streams
+        lo = np.asarray(lits[0][:lit_rows]).ravel()[:n_lit]
+        hi = np.asarray(lits[1][:lit_rows]).ravel()[:n_lit]
+        return ((hi.view(np.uint32).astype(np.uint64) << 32)
+                | lo.view(np.uint32).astype(np.uint64)).view(np.float64)
+    return np.asarray(lits[:lit_rows]).ravel()[:n_lit]
 
 
 def encode_payload_device(conf: Config, data, cap: int) -> bytes:
@@ -186,8 +211,8 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
     array or a device-resident jax array (serving path)."""
     dtype = np.dtype(np.asarray(data).dtype) if isinstance(data, np.ndarray) \
         else np.dtype(data.dtype)
-    if dtype != np.float32:
-        raise _fall("device entropy path is f32-only")
+    if dtype not in (np.float32, np.float64):
+        raise _fall("device entropy path is float-only")
     from ..ops import quantize as qz
 
     # Field screen for the pow2 softfloat bypass: evaluated on the concrete
@@ -202,7 +227,7 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
                              screen)
     if lp is None:
         raise _fall("no anchor grid")
-    jit_a, jit_b, nc, mp, cap_rows = jits
+    jit_a, jit_b, nc, mp, cap_rows, jit_a_hi = jits
     num = int(np.prod(conf.dims))
 
     from ..ops.interp_fast import _maybe_on, exec_device
@@ -211,6 +236,8 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
         x = data if isinstance(data, jax.Array) else jnp.asarray(
             np.ascontiguousarray(data).reshape(conf.dims))
         bins_stream, hist, lits, nlit = jit_a(x)
+        if dtype == np.float64:  # compact the hi literal halves (see jit_a)
+            lits = (lits[0], jit_a_hi(bins_stream, lits[1]))
 
     tree, total_bits, n_lit, tc_dev, tl_dev, c0_dev = _tree_and_tables(
         hist, nlit, cap_rows, conf.quantbinCnt, num)

@@ -86,6 +86,15 @@ def _interp_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes:
 
 
 def _interp_decode_payload(conf: Config, payload: bytes, dtype) -> np.ndarray:
+    # The archive's Config tail (reference format) does not serialize the
+    # anchor stride; loaded configs carry -1 and the value is DERIVED at
+    # decompression, identically to the encode-side resolution above. The
+    # device route must resolve it BEFORE building its static plan — with -1
+    # the plan mismatches the archived stream count and the route silently
+    # fell back on every archive-loaded config (round-4 fix; the host path
+    # was immune because runtime.interp_open resolves it natively).
+    if conf.interpAnchorStride < 0:
+        conf.interpAnchorStride = [4096, 128, 32, 16][conf.N - 1]
     if _device_routed():
         from . import device_decode
         try:

@@ -104,6 +104,10 @@ def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
     from .ops.interp_fast import _maybe_on, exec_device
 
     b = stack.shape[0]
+    if stack.dtype != np.float32:
+        # f64 literals ride a two-program compaction (device_encode.jit_a_hi)
+        # the pipeline doesn't schedule yet; per-field encode handles them
+        raise de._fall("pipelined serving is f32-only")
     dims = tuple(base.dims)
     num = int(np.prod(dims))
     cap = compress_size_bound(base, stack.dtype.itemsize)
@@ -114,7 +118,7 @@ def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
                                 str(stack.dtype))
     if lp is None:
         raise de._fall("no anchor grid")
-    jit_a, jit_b, nc, mp, cap_rows = jits
+    jit_a, jit_b, nc, mp, cap_rows, _jit_a_hi = jits
 
     import struct
     hdr = struct.Struct("<IIQ")
