@@ -187,7 +187,8 @@ def device_main():
                  pipeline_dec_gbs=round(nbytes / ddec / 1e9, 2))
     except Exception as e:
         log("device pipeline bench failed:", e)
-    for fn in (bench_device_entropy, bench_device_decode, bench_wavefront_decode):
+    for fn in (bench_device_entropy, bench_device_decode, bench_wavefront_decode,
+               bench_wavefront_encode, bench_f64_device):
         try:
             res = fn(data, nbytes)
             if res:
@@ -524,6 +525,104 @@ def bench_wavefront_decode(data, nbytes):
                 "wavefront_wall_s": round(wall, 2)}
     except Exception as e:
         log("wavefront decode bench skipped:", e)
+
+
+def bench_wavefront_encode(data, nbytes):
+    """Speculative wavefront LORENZO_REG ENCODE (round-4,
+    ops/blockwise_wavefront_encode.py): device scan isolated via K chained
+    iterations, plus the end-to-end walls for both engines and an archive
+    parity assert. The fits/selection passes and the host chain are outside
+    the scan timing (they are parallel/tiny; the scan is the format's
+    sequential core)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import sz3_tpu as szt
+        from sz3_tpu.config import ALGO, Config
+        from sz3_tpu.ops import blockwise_wavefront_encode as wfe
+
+        conf = Config(dims=data.shape, cmprAlgo=ALGO.LORENZO_REG,
+                      absErrorBound=EB)
+        t = time.time()
+        blob_n = szt.compress(data, conf.copy(), backend="native")
+        host_enc = time.time() - t
+        t = time.time()
+        blob_d = szt.compress(data, conf.copy(), backend="jax")
+        wall = time.time() - t
+        assert blob_d == blob_n, "wavefront encode archive mismatch"
+
+        # isolate the device scan: rebuild the certified inputs, then chain
+        from sz3_tpu.ops.blockwise_device import BS
+        from sz3_tpu.ops.blockwise_wavefront import LEAD, _skew_view
+        nb = tuple(-(-d // BS) for d in data.shape)
+        NX, NY, NZ = (nb[0] * BS, nb[1] * BS, nb[2] * BS)
+        run = wfe._jit_wavefront_enc((NX, NY, NZ), EB,
+                                     conf.quantbinCnt // 2)
+        TOT = LEAD + NX + NY + NZ - 2
+        G = np.zeros((NX, NY, NZ), np.float32)
+        G[:data.shape[0], :data.shape[1], :data.shape[2]] = data
+        S0 = np.zeros((TOT, NY + 2, NZ + 2), np.float32)
+        orig_s = np.zeros((TOT - LEAD, NY, NZ), np.float32)
+        _skew_view(orig_s, NX, NY, NZ)[:] = G
+        type_s = np.zeros((TOT - LEAD, NY, NZ), np.uint8)  # all-L1 schedule
+        K = 5
+        core = run.__wrapped__
+
+        @jax.jit
+        def run_k(S0, os_, ts_):
+            def body(i, acc):
+                S, bins = core(S0 + acc * jnp.float32(1e-30), os_, ts_)
+                return acc + S[LEAD, 2, 2] + bins[0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+        args = [jax.device_put(jnp.asarray(a)) for a in (S0, orig_s, type_s)]
+        float(np.asarray(run_k(*args)))  # compile+warm
+        ts = []
+        for _ in range(REPS):
+            t = time.time()
+            float(np.asarray(run_k(*args)))
+            ts.append(time.time() - t)
+        scan_t = min(ts) / K
+        shp = "x".join(map(str, data.shape))
+        log(f"TPU wavefront LORENZO_REG encode ({shp}): device scan "
+            f"{scan_t*1e3:.1f} ms -> {nbytes/scan_t/1e9:.2f} GB/s/chip; "
+            f"end-to-end wall {wall:.2f}s (host engine {host_enc:.2f}s), "
+            f"archives byte-identical")
+        return {"wavefront_enc_scan_gbs": round(nbytes / scan_t / 1e9, 2),
+                "wavefront_enc_wall_s": round(wall, 2)}
+    except Exception as e:
+        log("wavefront encode bench skipped:", e)
+
+
+def bench_f64_device(data, nbytes):
+    """f64 INTERP device-entropy encode (round-4 route: literals ride the
+    kernel as lo/hi i32 half-streams). Field: the bench field widened to
+    f64 (same values); archives asserted equal to the host engine's."""
+    try:
+        import jax
+        if jax.default_backend() != "tpu":
+            log("f64 device bench skipped: no TPU backend")
+            return
+        import sz3_tpu as szt
+        from sz3_tpu.algos import device_encode
+        from sz3_tpu.config import ALGO, Config
+
+        d64 = data.astype(np.float64)
+        conf = Config(dims=d64.shape, cmprAlgo=ALGO.INTERP, absErrorBound=EB)
+        cap = 2 * d64.nbytes + 4096
+        payload = device_encode.encode_payload_device(conf.copy(), d64, cap)
+        walls = []
+        for _ in range(max(2, REPS // 2)):
+            t = time.time()
+            device_encode.encode_payload_device(conf.copy(), d64, cap)
+            walls.append(time.time() - t)
+        wall = min(walls)
+        log(f"TPU f64 device-entropy encode: wall {wall*1e3:.0f} ms "
+            f"({d64.nbytes/wall/1e9:.2f} GB/s of f64 input; payload "
+            f"{len(payload)} B)")
+        return {"f64_entropy_enc_wall_gbs": round(d64.nbytes / wall / 1e9, 3)}
+    except Exception as e:
+        log("f64 device bench skipped:", e)
 
 
 def bench_chunked(data, nthreads, nbytes):
