@@ -23,13 +23,14 @@ def exact_mode(eb) -> bool:
     native f64 (TPU float-float emulation misrounds ulp ties, breaking
     archive parity; see ops/exactf64.py). Requires a static (host) eb — the
     sharded REL path traces eb from collectives and keeps the fast path.
-    SZT_EXACT_F64: auto (default, on for TPU runs), 1 (force), 0 (off)."""
+    SZT_EXACT_F64: auto (default, on for TPU runs), 1 (force softfloat),
+    verify (tie-screened fast path, see _quantize_verified), 0 (off)."""
     if not isinstance(eb, float):
         return False
     mode = os.environ.get("SZT_EXACT_F64", "auto")
     if mode == "0":
         return False
-    if mode == "1":
+    if mode in ("1", "verify"):
         return True
     return (jax.default_backend() == "tpu"
             and os.environ.get("SZT_JAX_DEVICE", "") != "cpu")
@@ -140,11 +141,13 @@ def _bypass_auto(eb, radius: int) -> bool:
 
 
 def quantize(data, pred, eb, radius: int):
-    if (exact_mode(eb) and data.dtype == jnp.float32
-            and not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
-                     and _bypass_auto(eb, radius))):
-        from .exactf64 import quantize_exact
-        return quantize_exact(data, pred, eb, radius)
+    if exact_mode(eb) and data.dtype == jnp.float32:
+        if os.environ.get("SZT_EXACT_F64", "auto") == "verify":
+            return _quantize_verified(data, pred, eb, radius)
+        if not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
+                and _bypass_auto(eb, radius)):
+            from .exactf64 import quantize_exact
+            return quantize_exact(data, pred, eb, radius)
     return _quantize_native(data, pred, eb, radius)
 
 
@@ -177,11 +180,13 @@ def _quantize_native(data, pred, eb, radius: int):
 
 
 def recover(pred, bins, literal, eb, radius: int):
-    if (exact_mode(eb) and pred.dtype == jnp.float32
-            and not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
-                     and _bypass_auto(eb, radius))):
-        from .exactf64 import recover_exact
-        return recover_exact(pred, bins, literal, eb, radius)
+    if exact_mode(eb) and pred.dtype == jnp.float32:
+        if os.environ.get("SZT_EXACT_F64", "auto") == "verify":
+            return _recover_verified(pred, bins, literal, eb, radius)
+        if not (os.environ.get("SZT_EXACT_F64", "auto") == "auto"
+                and _bypass_auto(eb, radius)):
+            from .exactf64 import recover_exact
+            return recover_exact(pred, bins, literal, eb, radius)
     return _recover_native(pred, bins, literal, eb, radius)
 
 
@@ -192,3 +197,128 @@ def _recover_native(pred, bins, literal, eb, radius: int):
     dec = (pred.astype(jnp.float64) +
            (2 * (bins - radius)).astype(jnp.float64) * eb).astype(pred.dtype)
     return jnp.where(bins != 0, dec, literal)
+
+
+# --- verified fast mode (SZT_EXACT_F64=verify): float-float speed with ------
+# --- softfloat parity for ARBITRARY error bounds -----------------------------
+#
+# The softfloat exists because TPU f64 emulation (float-float, ~48 mantissa
+# bits) can round a DECISION differently from IEEE f64. But a decision only
+# flips when the exact value sits within the emulation's error of a decision
+# boundary — and every boundary in the quantizer is known:
+#   (1) floor(|diff|*recip) and the qi < 2*radius test: integer boundaries;
+#   (2) f32-narrowing of pred + q*eb: the f32 rounding midpoints (ulp/2 from
+#       the nearest f32; ulp/4 at binade edges);
+#   (3) err <= eb: the single point err == eb.
+# Verified mode runs the fast float-float pipeline, flags every lane whose
+# distance to a boundary is below a CONSERVATIVE relative tolerance
+# (_VERIFY_EPS = 2^-42 >> the emulation's worst error and the flag
+# computation's own error), and recomputes only the flagged lanes with the
+# exact softfloat (compaction into a fixed _VERIFY_CAP buffer: cumsum +
+# searchsorted + gather/scatter). If more than _VERIFY_CAP lanes flag
+# (adversarially tied data), the whole call recomputes in softfloat via
+# lax.cond — correctness never depends on the flag RATE, only on the flag
+# PREDICATE being conservative. Non-finite operands flag outright (the
+# softfloat reproduces the reference's NaN/Inf behavior bit-for-bit).
+#
+# On IEEE-f64 backends the fast path is already exact, so verified mode is a
+# no-op detour; its value is on TPU, where it prices parity at the fast
+# path's cost plus ~6 extra vector ops and a CAP-sized softfloat tail.
+
+_VERIFY_EPS = 2.0 ** -42
+_VERIFY_CAP = 8192
+_F32_TINY = float(np.finfo(np.float32).tiny)      # 2^-126
+_F32_HUGE = float(np.finfo(np.float32).max)
+
+
+def _near_f32_boundary(s):
+    """True where narrowing the (emulated) f64 value `s` to f32 sits within
+    _VERIFY_EPS (relative) of a rounding boundary — the ulp/2 midpoints,
+    plus ulp/4 at binade edges — or lands outside the normal f32 range."""
+    n32 = s.astype(jnp.float32)
+    a32 = jnp.abs(n32)
+    special = ((a32 < np.float32(_F32_TINY)) | ~jnp.isfinite(n32)
+               | (a32 >= np.float32(_F32_HUGE)))
+    bits = jax.lax.bitcast_convert_type(n32, jnp.int32)
+    ebits = (bits >> 23) & 0xFF
+    ulp = jnp.exp2((ebits - 150).astype(jnp.float64))  # 2^(e-127-23)
+    d = jnp.abs(s - n32.astype(jnp.float64))
+    tol = jnp.abs(s) * _VERIFY_EPS + 1e-300
+    near = (jnp.abs(d - ulp * 0.5) <= tol) | (jnp.abs(d - ulp * 0.25) <= tol)
+    return near | special
+
+
+def tie_flags_quantize(data, pred, eb, radius: int):
+    """Conservative decision-boundary flags for the fast quantize path
+    (exposed for the directed tests; see the section comment)."""
+    recip = 1.0 / eb
+    diff = data - pred
+    ad = jnp.abs(diff).astype(jnp.float64)
+    prod = ad * recip
+    near_int = jnp.abs(prod - jnp.round(prod)) <= prod * _VERIFY_EPS + 1e-300
+    qi = jnp.minimum(prod, jnp.float64(2 * radius)).astype(jnp.int32) + 1
+    half = qi >> 1
+    qeven = half << 1
+    q = jnp.where(diff < 0, -qeven, qeven)
+    s = pred.astype(jnp.float64) + q.astype(jnp.float64) * eb
+    dec = s.astype(jnp.float32)
+    err = jnp.abs((dec - data).astype(jnp.float64))
+    near_eb = jnp.abs(err - eb) <= eb * _VERIFY_EPS
+    bad = ~jnp.isfinite(data) | ~jnp.isfinite(pred)
+    return near_int | _near_f32_boundary(s) | near_eb | bad
+
+
+def _patch_flagged(flags, fast_outs, exact_fn, gather_arrays):
+    """Recompute flagged lanes exactly. fast_outs: tuple of fast-path result
+    arrays; exact_fn(sub_arrays...) -> tuple matching fast_outs; gather_
+    arrays: inputs to gather per flagged lane. Falls back to exact_fn over
+    ALL lanes when more than _VERIFY_CAP flags fire."""
+    shape = flags.shape
+    flat = flags.reshape(-1)
+    n = flat.shape[0]
+    cap = min(_VERIFY_CAP, n)
+    ranks = jnp.cumsum(flat.astype(jnp.int32))
+    nflag = ranks[-1]
+    ins_flat = [a.reshape(-1) for a in gather_arrays]
+    outs_flat = [o.reshape(-1) for o in fast_outs]
+
+    def patched(operands):
+        ins, outs = operands
+        ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(ranks, ks, side="left")
+        posc = jnp.minimum(pos, n - 1)
+        subs = [a[posc] for a in ins]
+        ex = exact_fn(*subs)
+        tgt = jnp.where(ks <= nflag, pos, n)  # out-of-range scatters drop
+        return tuple(o.at[tgt].set(e) for o, e in zip(outs, ex))
+
+    def full(operands):
+        ins, _outs = operands
+        return tuple(exact_fn(*ins))
+
+    res = jax.lax.cond(nflag <= cap, patched, full, (ins_flat, outs_flat))
+    return tuple(r.reshape(shape) for r in res)
+
+
+def _quantize_verified(data, pred, eb, radius: int):
+    from .exactf64 import quantize_exact
+
+    bins_f, rec_f = _quantize_native(data, pred, eb, radius)
+    flags = tie_flags_quantize(data, pred, eb, radius)
+    return _patch_flagged(
+        flags, (bins_f, rec_f),
+        lambda d, p: quantize_exact(d, p, eb, radius), (data, pred))
+
+
+def _recover_verified(pred, bins, literal, eb, radius: int):
+    from .exactf64 import recover_exact
+
+    rec_f = _recover_native(pred, bins, literal, eb, radius)
+    s = (pred.astype(jnp.float64)
+         + (2 * (bins - radius)).astype(jnp.float64) * eb)
+    flags = (_near_f32_boundary(s) | ~jnp.isfinite(pred)) & (bins != 0)
+    (out,) = _patch_flagged(
+        flags, (rec_f,),
+        lambda p, b, l: (recover_exact(p, b, l, eb, radius),),
+        (pred, bins, literal))
+    return out
