@@ -250,6 +250,114 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
                                       num, unpred, cap)
 
 
+# ---- LORENZO_REG (blockwise): wavefront bins -> payload on-device -------------
+
+
+@lru_cache(maxsize=16)
+def _static_blockwise(dims, nb, eb, quantbin_cnt):
+    """Entropy stage for the blockwise stream: the wavefront's skewed bins
+    planes unskew on-device, merge with the REG pre-placed bins, relayout to
+    the archive's block-major order, and mask out-of-extent slots with
+    SENTINEL (zero-length codes — the same trick the interp layout uses for
+    pad slots), so the packed bitstream equals the compacted stream's."""
+    from ..ops.blockwise_device import BS
+    from ..ops.blockwise_wavefront import unskew_device
+
+    NX, NY, NZ = (nb[0] * BS, nb[1] * BS, nb[2] * BS)
+    E = BS ** 3
+    nblk = nb[0] * nb[1] * nb[2]
+    total = nblk * E
+    nc = -(-total // ed.CHUNK)
+    mp = nc * ed.CHUNK
+    num = 1
+    for d in dims:
+        num *= d
+    cap_rows = _cap_rows(num)
+
+    def to_stream(grid):
+        b = grid.reshape(nb[0], BS, nb[1], BS, nb[2], BS)
+        return b.transpose(0, 2, 4, 1, 3, 5).reshape(-1)
+
+    def valid_mask():
+        t = jnp.arange(total, dtype=jnp.int32)
+        blk = t // E
+        e = t % E
+        bi = blk // (nb[1] * nb[2])
+        bj = (blk // nb[2]) % nb[1]
+        bk = blk % nb[2]
+        x = e // (BS * BS)
+        y = (e // BS) % BS
+        z = e % BS
+        return ((bi * BS + x < dims[0]) & (bj * BS + y < dims[1])
+                & (bk * BS + z < dims[2]))
+
+    @jax.jit
+    def jit_a(bins_skew, orig_skew, bins_reg_g):
+        bins_g = unskew_device(bins_skew, NX, NY, NZ, lead=0, off=0) \
+            + bins_reg_g
+        orig_g = unskew_device(orig_skew, NX, NY, NZ, lead=0, off=0)
+        v = valid_mask()
+        bins_stream = jnp.where(v, to_stream(bins_g), jnp.int32(SENTINEL))
+        orig_stream = to_stream(orig_g)
+        bins_stream = jnp.pad(bins_stream, (0, mp - total),
+                              constant_values=SENTINEL)
+        orig_stream = jnp.pad(orig_stream, (0, mp - total))
+        wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
+        hist, lits, nlit = ed.hist_and_literals(bins_stream, orig_stream,
+                                                wlo, cap_rows)
+        return bins_stream, hist, lits, nlit
+
+    out_sub = mp // 128 + 256
+
+    @jax.jit
+    def jit_b(bins_stream, tc, tl, c0):
+        wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
+        return ed.pack_bits(bins_stream, tc, tl, wlo, c0, nc, out_sub)
+
+    return jit_a, jit_b, nc, mp, cap_rows
+
+
+def encode_payload_device_blockwise(conf: Config, data: np.ndarray,
+                                    cap: int) -> bytes:
+    """LORENZO_REG payload fully on-device: the speculative wavefront sweep
+    (ops/blockwise_wavefront_encode) produces bins that never leave the
+    chip; the entropy stage packs them there; only the payload bitstream
+    and the (device-extracted) literals cross D2H. Byte-identical to the
+    host engine's payload."""
+    if data.dtype != np.float32 or len(conf.dims) != 3:
+        raise _fall("device blockwise path is f32 3D only")
+    from ..ops import blockwise_wavefront_encode as wfe
+
+    try:
+        (bins_skew, orig_skew, bins_reg_g, selection, reg_bins, ql_unpred,
+         qi_unpred, nb) = wfe.encode_blocks_wavefront(
+            data.reshape(conf.dims), conf.absErrorBound,
+            conf.quantbinCnt // 2, conf.lorenzo, conf.lorenzo2,
+            conf.regression, device_streams=True)
+    except wfe.Fallback as e:
+        raise _fall(f"wavefront encode: {e}")
+    num = int(np.prod(conf.dims))
+    jit_a, jit_b, nc, mp, cap_rows = _static_blockwise(
+        tuple(conf.dims), tuple(nb), conf.absErrorBound, conf.quantbinCnt)
+
+    from ..ops.interp_fast import _maybe_on, exec_device
+    dev = exec_device()
+    with _maybe_on(dev):
+        bins_stream, hist, lits, nlit = jit_a(bins_skew, orig_skew,
+                                              jnp.asarray(bins_reg_g))
+
+    tree, total_bits, n_lit, tc_dev, tl_dev, c0_dev = _tree_and_tables(
+        hist, nlit, cap_rows, conf.quantbinCnt, num)
+
+    with _maybe_on(dev):
+        words, _cbits = jit_b(bins_stream, tc_dev, tl_dev, c0_dev)
+    bits_bytes = _stream_bytes(words, total_bits)
+    unpred = _literals(lits, n_lit, np.dtype(np.float32))
+    return runtime.blockwise_seal_packed(
+        conf, tree, bits_bytes, total_bits, num, selection, reg_bins,
+        ql_unpred, qi_unpred, unpred, cap)
+
+
 # ---- NOPRED ------------------------------------------------------------------
 
 

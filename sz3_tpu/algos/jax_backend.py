@@ -223,6 +223,14 @@ def _blockwise_encode_payload(conf: Config, data: np.ndarray, cap: int) -> bytes
     parity oracle for the wavefront."""
     data = data.reshape(conf.dims)
     if _device_blockwise_mode() == "auto":
+        if _device_routed():
+            # entropy stage on-device too: bins never leave the chip
+            from . import device_encode
+            try:
+                return device_encode.encode_payload_device_blockwise(
+                    conf, data, cap)
+            except device_encode.Fallback:
+                pass
         from ..ops.blockwise_wavefront_encode import (Fallback,
                                                       encode_blocks_wavefront)
         try:

@@ -131,6 +131,66 @@ std::vector<uint8_t> blockwise_seal(Conf& conf, const int32_t* bins, size_t n,
     return seal_payload<T>(codec, bv, cap);
 }
 
+// device-packed blockwise pieces -> full payload bytes, identical to
+// seal_payload's framing: zstd([codec.save (regression + selection +
+// quantizer streams)][tree][count][bitstream-len][bitstream]). The bins
+// bitstream arrives packed by the device entropy stage; the element
+// literals were extracted on-device in stream order.
+template <class T, int N>
+std::vector<uint8_t> blockwise_seal_packed(Conf& conf, const uint8_t* tree, size_t tree_len,
+                                           const uint8_t* bits, size_t bit_count, size_t count,
+                                           const int32_t* sel, size_t nsel,
+                                           const int32_t* regb, size_t nregb, const T* qlu,
+                                           size_t nqlu, const T* qiu, size_t nqiu,
+                                           const T* unpred, size_t nun, size_t cap) {
+    auto codec = make_blockwise<T, N>(conf);
+    codec.adopt_streams(std::vector<int32_t>(sel, sel + nsel),
+                        std::vector<int32_t>(regb, regb + nregb),
+                        std::vector<T>(qlu, qlu + nqlu), std::vector<T>(qiu, qiu + nqiu),
+                        std::vector<T>(unpred, unpred + nun));
+    size_t nbytes = (bit_count + 7) / 8;
+    Sink inner;
+    inner.reserve(tree_len + nbytes + nun * sizeof(T) + 4096);
+    codec.save(inner);
+    inner.raw(tree, tree_len);
+    inner.put<size_t>(count);
+    inner.put<size_t>(nbytes);
+    inner.raw(bits, nbytes);
+    return zstd_pack(inner.buf.data(), inner.buf.size(), cap);
+}
+
+// blockwise payload opened WITHOUT entropy-decoding the element bins: side
+// streams load normally (they are tiny), the bins Huffman bitstream and the
+// exported code table come back raw so the device decode kernels can do the
+// bit-walk on-chip (counterpart of blockwise_seal_packed).
+template <class T, int N>
+void blockwise_open_packed(Conf& conf, const uint8_t* payload, size_t len,
+                           std::vector<uint8_t>& bits, uint64_t& count, int64_t& offset,
+                           std::vector<uint32_t>& codes, std::vector<uint8_t>& lens,
+                           int64_t& const_sym, std::vector<int32_t>& sel,
+                           std::vector<int32_t>& regb, std::vector<T>& qlu,
+                           std::vector<T>& qiu, std::vector<T>& unpred) {
+    auto codec = make_blockwise<T, N>(conf);
+    auto raw = zstd_unpack(payload, len);
+    Source src(raw.data(), raw.size());
+    codec.load(src);
+    Huffman<int32_t> huff;
+    huff.load(src);
+    count = src.template get<size_t>();
+    size_t nbytes = src.template get<size_t>();
+    bits.assign(src.cursor(), src.cursor() + nbytes);
+    offset = int64_t(huff.offset());
+    const_sym = -1;
+    if (huff.constant_stream()) {
+        const_sym = int64_t(huff.constant_symbol());
+    } else if (!huff.export_loaded_codes(codes, lens)) {
+        throw std::runtime_error("huffman codes exceed 32 bits");
+    }
+    codec.export_streams(sel, regb, qlu, qiu, unpred);
+    conf.absErrorBound = codec.quant.eb();
+    conf.quantbinCnt = codec.quant.radius() * 2;
+}
+
 // blockwise payload bytes -> all archive streams (bins in block-sweep
 // order, selection, coefficient bins + coef-quantizer literals, element
 // literals) + effective params written into conf (absErrorBound = archived

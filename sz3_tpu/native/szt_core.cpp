@@ -914,6 +914,85 @@ int szt_blockwise_coef_chain_encode(double eb_ql, double eb_qi, uint64_t ncommit
     }
 }
 
+// Device-packed blockwise seal: side streams (host) + the device-packed
+// bins bitstream + device-extracted literals -> payload byte-identical to
+// szt_blockwise_seal's (see bridge.hpp::blockwise_seal_packed). f32 (the
+// device wavefront's scope).
+int szt_blockwise_seal_packed(SztConf* conf, const uint8_t* tree, uint64_t tree_len,
+                              const uint8_t* bits, uint64_t bit_count, uint64_t count,
+                              const int32_t* sel, uint64_t nsel, const int32_t* regb,
+                              uint64_t nregb, const float* qlu, uint64_t nqlu,
+                              const float* qiu, uint64_t nqiu, const float* unpred,
+                              uint64_t nun, uint64_t cap, uint8_t** out, uint64_t* out_len,
+                              char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> payload;
+        switch (k.N()) {
+            case 1: payload = blockwise_seal_packed<float, 1>(k, tree, tree_len, bits, bit_count, count, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            case 2: payload = blockwise_seal_packed<float, 2>(k, tree, tree_len, bits, bit_count, count, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            case 3: payload = blockwise_seal_packed<float, 3>(k, tree, tree_len, bits, bit_count, count, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            case 4: payload = blockwise_seal_packed<float, 4>(k, tree, tree_len, bits, bit_count, count, sel, nsel, regb, nregb, qlu, nqlu, qiu, nqiu, unpred, nun, cap); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        from_conf(k, conf);
+        *out = to_malloc(payload, out_len);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
+// Packed blockwise open: side streams decode natively (tiny), the bins
+// Huffman bitstream + code table come back raw for the on-chip bit-walk.
+int szt_blockwise_open_packed(SztConf* conf, const uint8_t* payload, uint64_t len,
+                              uint8_t** bits_out, uint64_t* bits_len, uint64_t* count,
+                              int64_t* offset, uint32_t** codes_out, uint8_t** lens_out,
+                              uint64_t* ncodes, int64_t* const_sym, int32_t** sel,
+                              uint64_t* nsel, int32_t** regb, uint64_t* nregb, float** qlu,
+                              uint64_t* nqlu, float** qiu, uint64_t* nqiu, float** unpred,
+                              uint64_t* nun, char* err, uint64_t errcap) {
+    try {
+        Conf k = to_conf(conf);
+        std::vector<uint8_t> bits, lens;
+        std::vector<uint32_t> codes;
+        std::vector<int32_t> sv, rv;
+        std::vector<float> qlv, qiv, uv;
+        switch (k.N()) {
+            case 1: blockwise_open_packed<float, 1>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, sv, rv, qlv, qiv, uv); break;
+            case 2: blockwise_open_packed<float, 2>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, sv, rv, qlv, qiv, uv); break;
+            case 3: blockwise_open_packed<float, 3>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, sv, rv, qlv, qiv, uv); break;
+            case 4: blockwise_open_packed<float, 4>(k, payload, len, bits, *count, *offset, codes, lens, *const_sym, sv, rv, qlv, qiv, uv); break;
+            default: throw std::runtime_error("unsupported dimensionality");
+        }
+        *bits_out = to_malloc(bits, bits_len);
+        std::vector<uint8_t> craw(reinterpret_cast<uint8_t*>(codes.data()),
+                                  reinterpret_cast<uint8_t*>(codes.data() + codes.size()));
+        uint64_t cb = 0;
+        *codes_out = reinterpret_cast<uint32_t*>(to_malloc(craw, &cb));
+        *lens_out = to_malloc(lens, ncodes);
+        auto grab_i32 = [](const std::vector<int32_t>& v, int32_t** p, uint64_t* n) {
+            *p = static_cast<int32_t*>(std::malloc(std::max<size_t>(1, v.size() * 4)));
+            std::memcpy(*p, v.data(), v.size() * 4);
+            *n = v.size();
+        };
+        auto grab_f32 = [](const std::vector<float>& v, float** p, uint64_t* n) {
+            *p = static_cast<float*>(std::malloc(std::max<size_t>(1, v.size() * 4)));
+            std::memcpy(*p, v.data(), v.size() * 4);
+            *n = v.size();
+        };
+        grab_i32(sv, sel, nsel);
+        grab_i32(rv, regb, nregb);
+        grab_f32(qlv, qlu, nqlu);
+        grab_f32(qiv, qiu, nqiu);
+        grab_f32(uv, unpred, nun);
+        from_conf(k, conf);
+        return 0;
+    } catch (const std::exception& e) {
+        return fail(e, err, errcap);
+    }
+}
+
 // ---- BioMD device-path split (f32; see ops/biomd_device.py) ------------------
 
 // frame-0 scalar atom chain: data(atoms*cols) -> bins + recon (caller buffers)

@@ -59,6 +59,26 @@ def _skew_view(S: np.ndarray, nx: int, ny: int, nz: int) -> np.ndarray:
         S, shape=(nx, ny, nz), strides=(st, st + sy, st + sz))
 
 
+def unskew_device(S, nx: int, ny: int, nz: int, lead: int = LEAD,
+                  off: int = 2):
+    """Device-side unskew: G[x,y,z] = S[lead+x+y+z, off+y, off+z] without
+    gathers — two static shear stages (z then y), each a chain of
+    statically-offset slices concatenated along the sheared axis. Reading
+    back G (1x the field) instead of S (~3x for cubes) is the difference
+    between a PCIe blip and the dominant cost on remote-attached chips."""
+    body = jax.lax.slice(S, (lead, off, off),
+                         (S.shape[0], off + ny, off + nz))
+    # stage 1: A[x', y, z] = body[x' + z, y, z]   (x' in [0, nx+ny-1))
+    nxy = nx + ny - 1
+    cols = [jax.lax.slice(body, (z, 0, z), (z + nxy, ny, z + 1))
+            for z in range(nz)]
+    A = jnp.concatenate(cols, axis=2)
+    # stage 2: G[x, y, z] = A[x + y, y, z]
+    rows = [jax.lax.slice(A, (y, y, 0), (y + nx, y + 1, nz))
+            for y in range(ny)]
+    return jnp.concatenate(rows, axis=1)
+
+
 @lru_cache(maxsize=8)
 def _jit_wavefront(gdims: Tuple[int, int, int], eb: float, radius: int):
     """Scan over anti-diagonal planes of the skewed grid. Carry: the padded
@@ -247,7 +267,17 @@ def decode_blocks_wavefront(dims, eb: float, radius: int, use_l1: bool,
     run, S0, bins_s, lit_s, type_s, unskew = prepare_wavefront(
         dims, eb, radius, use_l1, use_l2, use_reg, bins_stream, selection,
         reg_bins, ql_unpred, qi_unpred, unpred)
+    nb = tuple(-(-int(d) // BS) for d in dims)
+    gdims = tuple(n * BS for n in nb)
     with _maybe_on(exec_device()):
         S = run(jnp.asarray(S0), jnp.asarray(bins_s), jnp.asarray(lit_s),
                 jnp.asarray(type_s))
-    return unskew(np.asarray(S))
+        # unskew on device and read back only the field (S is ~3x it)
+        G = _jit_unskew(gdims)(S)
+        return np.asarray(G)[:dims[0], :dims[1], :dims[2]]
+
+
+@lru_cache(maxsize=8)
+def _jit_unskew(gdims: Tuple[int, int, int]):
+    NX, NY, NZ = gdims
+    return jax.jit(lambda S: unskew_device(S, NX, NY, NZ))

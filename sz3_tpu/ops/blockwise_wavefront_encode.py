@@ -305,12 +305,19 @@ def _jit_wavefront_enc(gdims: Tuple[int, int, int], eb: float, radius: int):
 # ---------------------------------------------------------------------------
 
 def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
-                            use_l1: bool, use_l2: bool, use_reg: bool):
+                            use_l1: bool, use_l2: bool, use_reg: bool,
+                            device_streams: bool = False):
     """Device wavefront compress sweep; returns host-side streams matching
     ops/blockwise_device.encode_blocks:
     (bins_stream, selection, reg_bins, ql_unpred, qi_unpred, unpred).
     Raises Fallback for unsupported rosters/shapes or when the speculative
-    selection cannot be certified."""
+    selection cannot be certified.
+
+    device_streams=True returns instead the pieces the device entropy stage
+    consumes WITHOUT reading the element bins back to the host:
+    (bins_skew_dev, orig_skew_dev, bins_reg_grid_host, selection, reg_bins,
+    ql_unpred, qi_unpred, nb) — see algos/device_encode.
+    encode_payload_device_blockwise."""
     from .interp_fast import _maybe_on, exec_device
     from .. import runtime
 
@@ -372,6 +379,9 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
 
         run = _jit_wavefront_enc((NX, NY, NZ), eb, radius)
         TOT = LEAD + NX + NY + NZ - 2
+        orig_s = np.zeros((TOT - LEAD, NY, NZ), np.float32)
+        _skew_view(orig_s, NX, NY, NZ)[:] = G
+        orig_s_dev = jnp.asarray(orig_s)
         certified = single  # single-predictor rosters are not speculative
         for _ in range(MAX_PASSES):
             is_reg_f = is_reg.reshape(-1)
@@ -403,12 +413,9 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
             # ---- skew + scan
             S0 = np.zeros((TOT, NY + 2, NZ + 2), np.float32)
             _skew_view(S0[LEAD:, 2:, 2:], NX, NY, NZ)[:] = G_init
-            orig_s = np.zeros((TOT - LEAD, NY, NZ), np.float32)
-            _skew_view(orig_s, NX, NY, NZ)[:] = G
             type_s = np.full((TOT - LEAD, NY, NZ), T_KEEP, np.uint8)
             _skew_view(type_s, NX, NY, NZ)[:] = type_g
-            S, bins_s = run(jnp.asarray(S0), jnp.asarray(orig_s),
-                            jnp.asarray(type_s))
+            S, bins_s = run(jnp.asarray(S0), orig_s_dev, jnp.asarray(type_s))
 
             if certified:
                 break
@@ -429,15 +436,8 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
             raise Fallback("selection fixpoint not reached in "
                            f"{MAX_PASSES} passes")
 
-        bins_host = np.asarray(bins_s)
-
-    # ---- streams (row-major block order; literal order mirrors the host)
-    bins_scan_g = _skew_view(bins_host, NX, NY, NZ).copy()
-    bins_g = bins_scan_g + bins_reg_g
-    bins_b = _grid_to_blocks(bins_g, nb)
-    bins_stream = bins_b[masks].astype(np.int32)
-    orig_stream = orig_b[masks]
-    unpred = np.ascontiguousarray(orig_stream[bins_stream == 0])
+        if not device_streams:
+            bins_host = np.asarray(bins_s)
 
     is_reg_f = is_reg.reshape(-1)
     if single:
@@ -452,6 +452,20 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
     reg_bins = regb_c.reshape(-1).astype(np.int32)
     ql_unpred = raw_commit[:, :3][regb_c[:, :3] == 0].astype(np.float32)
     qi_unpred = raw_commit[:, 3][regb_c[:, 3] == 0].astype(np.float32)
+
+    if device_streams:
+        # element bins stay on device; orig_s is already resident — the
+        # entropy stage derives both streams there (device_encode)
+        return (bins_s, orig_s_dev, bins_reg_g, selection, reg_bins,
+                ql_unpred, qi_unpred, nb)
+
+    # ---- streams (row-major block order; literal order mirrors the host)
+    bins_scan_g = _skew_view(bins_host, NX, NY, NZ).copy()
+    bins_g = bins_scan_g + bins_reg_g
+    bins_b = _grid_to_blocks(bins_g, nb)
+    bins_stream = bins_b[masks].astype(np.int32)
+    orig_stream = orig_b[masks]
+    unpred = np.ascontiguousarray(orig_stream[bins_stream == 0])
     return (bins_stream, selection, reg_bins, ql_unpred, qi_unpred, unpred)
 
 

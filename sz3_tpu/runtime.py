@@ -159,6 +159,21 @@ def lib() -> C.CDLL:
         l.szt_blockwise_coef_chain_encode.argtypes = [C.c_double, C.c_double, u64,
                                                       C.c_void_p, C.c_void_p,
                                                       C.c_void_p, C.c_char_p, u64]
+        l.szt_blockwise_seal_packed.restype = C.c_int
+        l.szt_blockwise_seal_packed.argtypes = [
+            C.POINTER(SztConfC), C.c_char_p, u64, C.c_char_p, u64, u64,
+            C.c_void_p, u64, C.c_void_p, u64, C.c_void_p, u64, C.c_void_p,
+            u64, C.c_void_p, u64, u64, C.POINTER(u8p), C.POINTER(u64),
+            C.c_char_p, u64]
+        l.szt_blockwise_open_packed.restype = C.c_int
+        l.szt_blockwise_open_packed.argtypes = [
+            C.POINTER(SztConfC), C.c_char_p, u64,
+            C.POINTER(u8p), C.POINTER(u64), C.POINTER(u64),
+            C.POINTER(C.c_int64), C.POINTER(C.POINTER(C.c_uint32)),
+            C.POINTER(u8p), C.POINTER(u64), C.POINTER(C.c_int64),
+            i32pp, C.POINTER(u64), i32pp, C.POINTER(u64),
+            f32pp, C.POINTER(u64), f32pp, C.POINTER(u64),
+            f32pp, C.POINTER(u64), C.c_char_p, u64]
         l.szt_biomd_frame0.restype = C.c_int
         l.szt_biomd_frame0.argtypes = [C.c_double, C.c_int32, C.c_int32, C.c_void_p,
                                        u64, u64, C.c_void_p, C.c_void_p,
@@ -643,6 +658,87 @@ def blockwise_coef_chain_encode(eb_ql: float, eb_qi: float,
     if rc != 0:
         raise RuntimeError(f"szt_blockwise_coef_chain_encode: {err.value.decode()}")
     return bins, recon
+
+
+def blockwise_seal_packed(conf: Config, tree: bytes, bits: bytes,
+                          bit_count: int, count: int, sel: np.ndarray,
+                          regb: np.ndarray, qlu: np.ndarray, qiu: np.ndarray,
+                          unpred: np.ndarray, cap: int) -> bytes:
+    """Device-packed bins bitstream + host side streams -> LORENZO_REG
+    payload byte-identical to blockwise_seal's."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    sel = np.ascontiguousarray(sel, np.int32)
+    regb = np.ascontiguousarray(regb, np.int32)
+    qlu = np.ascontiguousarray(qlu, np.float32)
+    qiu = np.ascontiguousarray(qiu, np.float32)
+    unpred = np.ascontiguousarray(unpred, np.float32)
+    out = C.POINTER(C.c_uint8)()
+    out_len = C.c_uint64()
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_blockwise_seal_packed(
+        C.byref(c), tree, C.c_uint64(len(tree)), bits, C.c_uint64(bit_count),
+        C.c_uint64(count),
+        sel.ctypes.data_as(C.c_void_p), C.c_uint64(sel.size),
+        regb.ctypes.data_as(C.c_void_p), C.c_uint64(regb.size),
+        qlu.ctypes.data_as(C.c_void_p), C.c_uint64(qlu.size),
+        qiu.ctypes.data_as(C.c_void_p), C.c_uint64(qiu.size),
+        unpred.ctypes.data_as(C.c_void_p), C.c_uint64(unpred.size),
+        C.c_uint64(cap), C.byref(out), C.byref(out_len), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_blockwise_seal_packed: {err.value.decode()}")
+    conf_from_c(c, conf)
+    return _take(out, out_len)
+
+
+def blockwise_open_packed(conf: Config, payload: bytes):
+    """LORENZO_REG payload -> raw bins bitstream + code table + side streams
+    WITHOUT the bins Huffman walk (for the on-chip bit-walk): returns
+    (bits bytes, count, offset, codes u32, lens u8, const_sym,
+    sel, regb, qlu, qiu, unpred)."""
+    c = conf_to_c(conf, engine_dtype=DataType.FLOAT)
+    bits_p = C.POINTER(C.c_uint8)()
+    bits_len = C.c_uint64()
+    count = C.c_uint64()
+    offset = C.c_int64()
+    codes_p = C.POINTER(C.c_uint32)()
+    lens_p = C.POINTER(C.c_uint8)()
+    ncodes = C.c_uint64()
+    const_sym = C.c_int64()
+    i32p = C.POINTER(C.c_int32)
+    f32p = C.POINTER(C.c_float)
+    sel_p, regb_p = i32p(), i32p()
+    qlu_p, qiu_p, unp_p = f32p(), f32p(), f32p()
+    nsel, nregb, nqlu, nqiu, nun = (C.c_uint64() for _ in range(5))
+    err = C.create_string_buffer(_ERRCAP)
+    rc = lib().szt_blockwise_open_packed(
+        C.byref(c), payload, C.c_uint64(len(payload)),
+        C.byref(bits_p), C.byref(bits_len), C.byref(count), C.byref(offset),
+        C.byref(codes_p), C.byref(lens_p), C.byref(ncodes),
+        C.byref(const_sym),
+        C.byref(sel_p), C.byref(nsel), C.byref(regb_p), C.byref(nregb),
+        C.byref(qlu_p), C.byref(nqlu), C.byref(qiu_p), C.byref(nqiu),
+        C.byref(unp_p), C.byref(nun), err, _ERRCAP)
+    if rc != 0:
+        raise RuntimeError(f"szt_blockwise_open_packed: {err.value.decode()}")
+    bits = _take(bits_p, bits_len)
+    n = int(ncodes.value)
+    codes = np.ctypeslib.as_array(codes_p, shape=(n,)).copy() if n else \
+        np.zeros(0, np.uint32)
+    lens = np.ctypeslib.as_array(lens_p, shape=(n,)).copy() if n else \
+        np.zeros(0, np.uint8)
+    lib().szt_free(C.cast(codes_p, C.c_void_p))
+    lib().szt_free(C.cast(lens_p, C.c_void_p))
+    res = []
+    for p, cnt, dt in ((sel_p, nsel, np.int32), (regb_p, nregb, np.int32),
+                       (qlu_p, nqlu, np.float32), (qiu_p, nqiu, np.float32),
+                       (unp_p, nun, np.float32)):
+        arr = np.ctypeslib.as_array(p, shape=(int(cnt.value),)).astype(
+            dt, copy=True) if cnt.value else np.zeros(0, dt)
+        lib().szt_free(C.cast(p, C.c_void_p))
+        res.append(arr)
+    conf_from_c(c, conf)
+    return (bits, int(count.value), int(offset.value), codes, lens,
+            int(const_sym.value), *res)
 
 
 def biomd_frame0(eb: float, radius: int, site: int, frame: np.ndarray):

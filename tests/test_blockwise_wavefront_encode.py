@@ -136,6 +136,36 @@ def test_speculation_flip_reconverges():
     assert bn == bj
 
 
+def test_device_entropy_blockwise_engages(monkeypatch):
+    """With the device-entropy route forced, the LORENZO_REG encode runs
+    fully on-device (wavefront bins -> on-chip Huffman pack -> packed seal)
+    with ZERO fallbacks and archive byte parity (incl. ragged tails)."""
+    from sz3_tpu.algos import device_encode
+    monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")
+    data = _field((20, 19, 23), seed=13)
+    conf = Config(dims=data.shape, cmprAlgo=ALGO.LORENZO_REG,
+                  absErrorBound=1e-3)
+    before = dict(device_encode.fallback_counts)
+    called = {}
+    orig = device_encode.encode_payload_device_blockwise
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(device_encode, "encode_payload_device_blockwise",
+                        spy)
+    bj = szt.compress(data, conf.copy(), backend="jax", set_datatype=False)
+    assert called.get("hit"), "device blockwise entropy was never attempted"
+    new = {k: v - before.get(k, 0)
+           for k, v in device_encode.fallback_counts.items()
+           if v != before.get(k, 0)}
+    assert not new, f"device blockwise route fell back: {new}"
+    bn = szt.compress(data, conf.copy(), backend="native",
+                      set_datatype=False)
+    assert bj == bn
+
+
 def test_roundtrip_error_bound():
     data = _field((40, 37, 29), seed=21)
     eb = 1e-3
