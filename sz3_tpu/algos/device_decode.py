@@ -258,6 +258,121 @@ def decode_payload_device_biomdxtc(conf: Config, payload: bytes,
     return rec.reshape(tuple(dims))
 
 
+# ---- LORENZO_REG: payload -> array with bit-walk + wavefront on-chip ---------
+
+
+@lru_cache(maxsize=16)
+def _jit_blockwise_prep(dims, nb, eb, radius):
+    """Dense device symbols -> the wavefront scan's skewed inputs, all on
+    device: literal placement (stream order), the static class-split stream
+    -> blocked layout, REG pre-placement via recover() (softfloat-exact on
+    TPU, IEEE f64 on CPU — matching the scan's recover), blocked -> grid,
+    and the two-stage shear skew. No gathers anywhere except the
+    literal-count-sized scatter."""
+    from ..ops.blockwise_device import BS
+    from ..ops.blockwise_wavefront import (LEAD, T_KEEP, skew_device,
+                                           stream_to_blocked)
+    from ..ops.quantize import recover
+
+    E = BS ** 3
+    NX, NY, NZ = (nb[0] * BS, nb[1] * BS, nb[2] * BS)
+    TOT = LEAD + NX + NY + NZ - 2
+    num = int(np.prod(dims))
+    i32 = jnp.int32
+
+    def to_grid(blk):
+        return blk.transpose(0, 3, 1, 4, 2, 5).reshape(NX, NY, NZ)
+
+    @jax.jit
+    def prep(dense2d, unpred_padded, coef_b, type_b):
+        dense = dense2d.reshape(-1)[:num]
+        nzero = jnp.sum((dense == 0).astype(i32), dtype=i32)
+        lit_dense = _place_literals(dense, unpred_padded, jnp.float32)
+        bins_blk = stream_to_blocked(dense, dims, nb)
+        lit_blk = stream_to_blocked(lit_dense, dims, nb).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(i32, (BS, BS, BS), 0)
+        ys = jax.lax.broadcasted_iota(i32, (BS, BS, BS), 1)
+        zs = jax.lax.broadcasted_iota(i32, (BS, BS, BS), 2)
+        v = ((jnp.arange(nb[0], dtype=i32)[:, None, None, None, None, None]
+              * BS + xs < dims[0])
+             & (jnp.arange(nb[1], dtype=i32)[None, :, None, None, None, None]
+                * BS + ys < dims[1])
+             & (jnp.arange(nb[2], dtype=i32)[None, None, :, None, None, None]
+                * BS + zs < dims[2]))
+        tb = type_b.reshape(nb[0], nb[1], nb[2], 1, 1, 1)
+        type_cells = jnp.where(v, tb, jnp.uint8(T_KEEP))
+        c = coef_b.reshape(nb[0], nb[1], nb[2], 1, 1, 1, 4)
+        pred = (c[..., 0] * xs.astype(jnp.float32)
+                + c[..., 1] * ys.astype(jnp.float32)
+                + c[..., 2] * zs.astype(jnp.float32) + c[..., 3])
+        rec = recover(pred, bins_blk, lit_blk, eb, radius)
+        is_reg_cell = (type_cells == jnp.uint8(T_KEEP)) & v
+        G_init = to_grid(jnp.where(is_reg_cell, rec, jnp.float32(0)))
+        bins_g = to_grid(jnp.where(v, bins_blk, i32(0)))
+        lit_g = to_grid(jnp.where(v, lit_blk, jnp.float32(0)))
+        type_g = to_grid(type_cells)
+        S0 = skew_device(G_init, TOT, lead=LEAD, off=2)
+        bins_s = skew_device(bins_g, TOT - LEAD)
+        lit_s = skew_device(lit_g, TOT - LEAD)
+        type_s = skew_device(type_g, TOT - LEAD, fill=T_KEEP)
+        return S0, bins_s, lit_s, type_s, nzero
+
+    return prep
+
+
+def decode_payload_device_blockwise(conf: Config, payload: bytes,
+                                    dtype) -> np.ndarray:
+    """LORENZO_REG payload -> array fully on-device: the bins Huffman
+    bit-walk (speculative windows), literal placement, the stream->blocked
+    class-split, REG pre-placement, the shear skew, and the anti-diagonal
+    wavefront scan all run on the chip; the host opens the payload framing
+    and replays the (tiny) coefficient chain. Output is byte-identical to
+    the host engine's."""
+    if np.dtype(dtype) != np.float32:
+        raise _fall("device blockwise decode is f32-only")
+    if len(conf.dims) != 3:
+        raise _fall("device blockwise decode is 3D-only")
+    from ..ops.blockwise_device import BS
+    from ..ops import blockwise_wavefront as wf
+
+    roster = [p for p, on in (("L1", conf.lorenzo), ("L2", conf.lorenzo2),
+                              ("REG", conf.regression)) if on]
+    if not roster:
+        raise _fall("all predictors disabled")
+    (bits, count, offset, codes, lens, const_sym, sel, regb, qlu, qiu,
+     unpred) = runtime.blockwise_open_packed(conf, payload)
+    dims = tuple(int(d) for d in conf.dims)
+    num = int(np.prod(dims))
+    if count != num:
+        raise _fall(f"archived count {count} != num {num}")
+    nb = tuple(-(-d // BS) for d in dims)
+    eb = conf.absErrorBound
+    radius = conf.quantbinCnt // 2
+
+    sel_kind, commit_b, coef_b = wf._selection_info(
+        dims, nb, roster, sel, regb, qlu, qiu, eb)
+    kindmap = {"L1": wf.T_L1, "L2": wf.T_L2, "REG": wf.T_KEEP}
+    type_b = np.fromiter((kindmap[k] for k in sel_kind), np.uint8,
+                         len(sel_kind))
+
+    prep = _jit_blockwise_prep(dims, nb, float(eb), int(radius))
+    run = wf._jit_wavefront((nb[0] * BS, nb[1] * BS, nb[2] * BS),
+                            float(eb), int(radius))
+    unsk = wf._jit_unskew((nb[0] * BS, nb[1] * BS, nb[2] * BS))
+    n_lit = unpred.size
+    dev = exec_device()
+    with _maybe_on(dev):
+        dense = _dense_bins(bits, count, offset, codes, lens, const_sym)
+        S0, bins_s, lit_s, type_s, nzero = prep(
+            dense, jnp.asarray(_pad_unpred(unpred, np.float32)),
+            jnp.asarray(coef_b), jnp.asarray(type_b))
+        S = run(S0, bins_s, lit_s, type_s)
+        out = np.asarray(unsk(S))
+    if int(nzero) != n_lit:
+        raise _fall(f"literal stream length {n_lit} != zero bins {int(nzero)}")
+    return out[:dims[0], :dims[1], :dims[2]]
+
+
 @lru_cache(maxsize=16)
 def _nopred_finish(num, eb, quantbin_cnt, dtype_name):
     from ..ops.quantize import recover

@@ -258,8 +258,17 @@ def _blockwise_decode_payload(conf: Config, payload: bytes) -> np.ndarray:
 def _blockwise_decode_wavefront(conf: Config, payload: bytes) -> np.ndarray:
     """LORENZO_REG decode with the element sweep as an anti-diagonal
     wavefront (ops/blockwise_wavefront.py) — the default device decode for
-    f32 3D. The entropy open and the sequential coefficient chain run in the
-    native engine."""
+    f32 3D. Under the device-entropy policy the bins Huffman bit-walk and
+    the stream->skewed-slab layout run on-chip too (device_decode.
+    decode_payload_device_blockwise); otherwise the entropy open and the
+    sequential coefficient chain run in the native engine."""
+    if _device_routed():
+        from . import device_decode
+        try:
+            return device_decode.decode_payload_device_blockwise(
+                conf, payload, np.float32)
+        except device_decode.Fallback:
+            pass
     from ..ops.blockwise_wavefront import decode_blocks_wavefront
     bins, sel, regb, qlu, qiu, unp = runtime.blockwise_open(conf, payload)
     return decode_blocks_wavefront(

@@ -59,6 +59,79 @@ def _skew_view(S: np.ndarray, nx: int, ny: int, nz: int) -> np.ndarray:
         S, shape=(nx, ny, nz), strides=(st, st + sy, st + sz))
 
 
+def skew_device(G, tot: int, lead: int = 0, off: int = 0, fill=0):
+    """Device-side skew: S[lead+x+y+z, off+y, off+z] = G[x,y,z], the inverse
+    of unskew_device, again as two static shear stages (pad chains, no
+    gathers). `tot` is the output's first-axis extent; `fill` pads the
+    outside (the scan treats those lanes as garbage)."""
+    nx, ny, nz = G.shape
+    # stage 1: A[x+y, y, z] = G[x, y, z]  -> (nx+ny-1, ny, nz)
+    rows = [jnp.pad(jax.lax.slice(G, (0, y, 0), (nx, y + 1, nz)),
+                    ((y, ny - 1 - y), (0, 0), (0, 0)),
+                    constant_values=fill) for y in range(ny)]
+    A = jnp.concatenate(rows, axis=1)
+    # stage 2: S[x'+z, y, z] = A[x', y, z] -> (nx+ny+nz-2, ny, nz)
+    nxy = nx + ny - 1
+    cols = [jnp.pad(jax.lax.slice(A, (0, 0, z), (nxy, ny, z + 1)),
+                    ((z, nz - 1 - z), (0, 0), (0, 0)),
+                    constant_values=fill) for z in range(nz)]
+    S = jnp.concatenate(cols, axis=2)
+    pad0 = (lead, tot - lead - (nx + ny + nz - 2))
+    return jnp.pad(S, (pad0, (off, 0), (off, 0)), constant_values=fill)
+
+
+def stream_to_blocked(stream, dims, nb):
+    """Archive block-major stream (row-major blocks, row-major in-block
+    VALID cells) -> (nb0, nb1, nb2, 6, 6, 6) blocked tensor with zeros at
+    out-of-extent slots — all static slices/reshapes/pads (the per-block
+    element count varies only with the interior/tail class per axis, so the
+    stream splits hierarchically at static offsets; no gathers)."""
+    d0, d1, d2 = (int(d) for d in dims)
+    nb0, nb1, nb2 = (int(n) for n in nb)
+    t0 = d0 - BS * (nb0 - 1)
+    t1 = d1 - BS * (nb1 - 1)
+    t2 = d2 - BS * (nb2 - 1)
+
+    def pad6(a, axes):
+        cfg = [(0, 0)] * a.ndim
+        for ax, cur in axes:
+            cfg[ax] = (0, BS - cur)
+        return jnp.pad(a, cfg)
+
+    def split_rows(r, n, e0, e1):
+        """r: (n, m, e0*e1*d2) one bj-class -> (n, m, nb2, 6, 6, 6)."""
+        m = r.shape[1]
+        lk = e0 * e1 * BS
+        parts = []
+        if nb2 > 1:
+            U = r[:, :, : (nb2 - 1) * lk].reshape(n, m, nb2 - 1, e0, e1, BS)
+            parts.append(pad6(U, [(3, e0), (4, e1)]))
+        V = r[:, :, (nb2 - 1) * lk:].reshape(n, m, 1, e0, e1, t2)
+        parts.append(pad6(V, [(3, e0), (4, e1), (5, t2)]))
+        return jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+
+    def split_layer(t, n, e0):
+        """t: (n, e0*d1*d2) one bi-class -> (n, nb1, nb2, 6, 6, 6)."""
+        lj = e0 * BS * d2
+        parts = []
+        if nb1 > 1:
+            P = t[:, : (nb1 - 1) * lj].reshape(n, nb1 - 1, e0 * BS * d2)
+            parts.append(split_rows(P, n, e0, BS))
+        Q = t[:, (nb1 - 1) * lj:].reshape(n, 1, e0 * t1 * d2)
+        parts.append(split_rows(Q, n, e0, t1))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    s = stream.reshape(-1)[: d0 * d1 * d2]
+    li = BS * d1 * d2
+    parts = []
+    if nb0 > 1:
+        A = s[: (nb0 - 1) * li].reshape(nb0 - 1, BS * d1 * d2)
+        parts.append(split_layer(A, nb0 - 1, BS))
+    Bt = s[(nb0 - 1) * li:].reshape(1, t0 * d1 * d2)
+    parts.append(split_layer(Bt, 1, t0))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def unskew_device(S, nx: int, ny: int, nz: int, lead: int = LEAD,
                   off: int = 2):
     """Device-side unskew: G[x,y,z] = S[lead+x+y+z, off+y, off+z] without
@@ -126,18 +199,15 @@ def _jit_wavefront(gdims: Tuple[int, int, int], eb: float, radius: int):
     return run
 
 
-def _unpack_streams(dims, nb, roster, bins_stream, selection, reg_bins,
-                    ql_unpred, qi_unpred, unpred, eb):
-    """Archive streams -> per-block bins/lits/types + reconstructed coefs
-    (native chain replay). Mirrors blockwise_device.decode_blocks' placement
-    semantics exactly."""
+def _selection_info(dims, nb, roster, selection, reg_bins, ql_unpred,
+                    qi_unpred, eb):
+    """Side streams -> (sel_kind, commit_b, coef_b): per-block predictor
+    kind ('L1'/'L2'/'REG'; thin REG singles fall back to 'L1'), the commit
+    pattern, and reconstructed regression coefficients via the native chain
+    replay."""
     from .. import runtime
 
     nblocks = int(np.prod(nb))
-    E = BS ** 3
-    masks = _element_masks(tuple(dims), tuple(nb))
-    bins_b = np.zeros((nblocks, E), np.int32)
-    bins_b[masks] = bins_stream
     single = len(roster) == 1
     if single:
         if roster[0] == "REG":
@@ -154,10 +224,6 @@ def _unpack_streams(dims, nb, roster, bins_stream, selection, reg_bins,
         sel_kind = kinds[sel_b]
         reg_idx = roster.index("REG") if "REG" in roster else -1
         commit_b = sel_b == reg_idx
-    lit_b = np.zeros((nblocks, E), np.float32)
-    lit_b[masks & (bins_b == 0)] = unpred
-
-    # chain replay (native): recon coefs for committing blocks, commit order
     coef_b = np.zeros((nblocks, 4), np.float32)
     if commit_b.any():
         n_dims = len(dims)
@@ -166,6 +232,23 @@ def _unpack_streams(dims, nb, roster, bins_stream, selection, reg_bins,
             np.asarray(reg_bins, np.int32).reshape(-1, 4),
             ql_unpred, qi_unpred)
         coef_b[commit_b] = coefs
+    return sel_kind, commit_b, coef_b
+
+
+def _unpack_streams(dims, nb, roster, bins_stream, selection, reg_bins,
+                    ql_unpred, qi_unpred, unpred, eb):
+    """Archive streams -> per-block bins/lits/types + reconstructed coefs
+    (native chain replay). Mirrors blockwise_device.decode_blocks' placement
+    semantics exactly."""
+    nblocks = int(np.prod(nb))
+    E = BS ** 3
+    masks = _element_masks(tuple(dims), tuple(nb))
+    bins_b = np.zeros((nblocks, E), np.int32)
+    bins_b[masks] = bins_stream
+    lit_b = np.zeros((nblocks, E), np.float32)
+    lit_b[masks & (bins_b == 0)] = unpred
+    sel_kind, commit_b, coef_b = _selection_info(
+        dims, nb, roster, selection, reg_bins, ql_unpred, qi_unpred, eb)
     return bins_b, lit_b, sel_kind, commit_b, coef_b, masks
 
 

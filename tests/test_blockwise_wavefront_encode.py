@@ -166,6 +166,37 @@ def test_device_entropy_blockwise_engages(monkeypatch):
     assert bj == bn
 
 
+def test_device_entropy_blockwise_decode_engages(monkeypatch):
+    """Forced device-entropy route: the LORENZO_REG DECODE runs fully
+    on-chip (bit-walk, literal placement, class-split layout, shear skew,
+    wavefront) with zero fallbacks and byte parity."""
+    from sz3_tpu.algos import device_decode, device_encode
+    monkeypatch.setenv("SZT_DEVICE_ENTROPY", "1")
+    data = _field((20, 19, 23), seed=17)
+    conf = Config(dims=data.shape, cmprAlgo=ALGO.LORENZO_REG,
+                  absErrorBound=1e-3)
+    bn = szt.compress(data, conf.copy(), backend="native",
+                      set_datatype=False)
+    before = dict(device_encode.fallback_counts)
+    called = {}
+    orig = device_decode.decode_payload_device_blockwise
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(device_decode, "decode_payload_device_blockwise",
+                        spy)
+    oj, _ = szt.decompress(bn, backend="jax", dtype=np.float32)
+    assert called.get("hit"), "device blockwise decode never attempted"
+    new = {k: v - before.get(k, 0)
+           for k, v in device_encode.fallback_counts.items()
+           if v != before.get(k, 0)}
+    assert not new, f"device blockwise decode fell back: {new}"
+    on, _ = szt.decompress(bn, dtype=np.float32)
+    assert oj.tobytes() == on.tobytes()
+
+
 def test_roundtrip_error_bound():
     data = _field((40, 37, 29), seed=21)
     eb = 1e-3
