@@ -125,16 +125,22 @@ def decode_payload_device(conf: Config, payload: bytes, dtype) -> np.ndarray:
     TPU f64 rides the float-float emulation like the non-packed route)."""
     if np.dtype(dtype) not in (np.float32, np.float64):
         raise _fall("device decode path is float-only")
-    # static gates BEFORE the payload open: a fallback here must not pay the
-    # zstd decompress twice (the host path re-opens on fallback)
+    # The payload open MUST precede the static plan: the archive's Config
+    # tail records the tuner's interp choice, but the payload header is
+    # authoritative (the interp compressor re-tunes and can store a different
+    # interpolator — reference InterpolationDecomposition serializes its own
+    # params). A tail/payload interpAlgo disagreement keeps the stream count
+    # identical, so planning from the tail reconstructed with the wrong
+    # interpolator SILENTLY (caught on real hardware, round 4). The cost is
+    # one extra zstd open when we later fall back — correctness wins.
+    bits, count, offset, codes, lens, const_sym, unpred = \
+        runtime.open_packed(conf, payload, dtype, algo=2)
     statics = (tuple(conf.dims), int(conf.interpAlgo), conf.interpDirection,
                conf.interpAnchorStride, conf.interpAlpha, conf.interpBeta,
                conf.absErrorBound, conf.quantbinCnt, np.dtype(dtype).name)
     need, finish = _static_dec(*statics)
     if finish is None:
         raise _fall("no anchor grid")
-    bits, count, offset, codes, lens, const_sym, unpred = \
-        runtime.open_packed(conf, payload, dtype, algo=2)
     if count != need:
         raise _fall(f"archived count {count} != layout count {need}")
     # Decode-side field screen for the pow2 softfloat bypass: the inputs the

@@ -433,11 +433,18 @@ def _compact_kernel(off_ref, skip_ref, n_ref, syms_ref, _aliased,
     base = ci * jnp.int32(COMPACT_BATCH)
     abase = off_ref[base] >> i32(7)
     acc[:] = jnp.zeros_like(acc)
-    lane_i = jax.lax.broadcasted_iota(i32, (capr, 128), 1)
-    sub_i = jax.lax.broadcasted_iota(i32, (capr, 128), 0)
+    # Mosaic's dynamic sublane rotate requires an 8-aligned sublane count
+    # (vector<3x128> fails "unsupported unaligned shape" on real hardware):
+    # work on a zero-padded (padr,128) tile. Wrapped rows are never consumed:
+    # every valid element has source index eidx+sk < cap, i.e. source row
+    # <= capr-1 < padr (and capr <= padr-1 for the +1 carry row, since
+    # CAP_CLASSES give capr in {3,4,5,9} -> padr in {8,8,8,16}).
+    padr = (capr + 7) // 8 * 8
+    lane_i = jax.lax.broadcasted_iota(i32, (padr, 128), 1)
+    sub_i = jax.lax.broadcasted_iota(i32, (padr, 128), 0)
     eidx = sub_i * i32(128) + lane_i
-    lane_r = jax.lax.broadcasted_iota(i32, (capr + 1, 128), 1)
-    pad_to = (capr + 1 + 7) // 8 * 8
+    lane_r = jax.lax.broadcasted_iota(i32, (padr + 1, 128), 1)
+    pad_to = (padr + 1 + 7) // 8 * 8
 
     for s in range(COMPACT_BATCH):
         o = off_ref[base + jnp.int32(s)]
@@ -447,13 +454,13 @@ def _compact_kernel(off_ref, skip_ref, n_ref, syms_ref, _aliased,
         @pl.when(n > 0)
         def _():
             tile = syms_ref[s * capr:(s + 1) * capr, :]
+            tile = jnp.pad(tile, ((0, padr - capr), (0, 0)))
             # drop the first `sk` elements: element e <- tile[e + sk]
             skl = sk & i32(127)
             skr = sk >> i32(7)
             rot = pltpu.roll(tile, i32(128) - skl, 1)   # lane l <- (l+skl)%128
-            a = pltpu.roll(rot, i32(capr) - skr, 0)     # row r <- r+skr
-            b = pltpu.roll(rot, jnp.where(
-                skr + 1 >= i32(capr), i32(0), i32(capr) - skr - 1), 0)
+            a = pltpu.roll(rot, i32(padr) - skr, 0)     # row r <- r+skr
+            b = pltpu.roll(rot, i32(padr) - skr - i32(1), 0)
             comp = jnp.where(lane_i < i32(128) - skl, a, b)
             comp = jnp.where(skl == 0, a, comp)
             comp = jnp.where(eidx < n, comp, i32(0))
@@ -466,7 +473,7 @@ def _compact_kernel(off_ref, skip_ref, n_ref, syms_ref, _aliased,
             keep = jnp.pad(rot2, ((0, 1), (0, 0)))
             down = jnp.pad(down, ((0, 1), (0, 0)))
             region = jnp.where(lane_r < gl, down, keep)
-            region = jnp.pad(region, ((0, pad_to - (capr + 1)), (0, 0)))
+            region = jnp.pad(region, ((0, pad_to - (padr + 1)), (0, 0)))
             cur = acc[pl.ds(rr, pad_to), :]
             acc[pl.ds(rr, pad_to), :] = cur | region
 

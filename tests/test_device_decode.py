@@ -124,3 +124,32 @@ def test_tpu_nopred_decode_end_to_end(_unpin_device, monkeypatch):
     out_host, _ = szt.decompress(blob)
     out_dev, _ = szt.decompress(blob, backend="jax")
     assert np.array_equal(np.asarray(out_dev), np.asarray(out_host))
+
+
+def test_payload_wins_over_stale_tail():
+    """The archive's Config tail records the TUNER's interp choice; the
+    payload header is authoritative (the interp compressor re-tunes). A
+    tail/payload interpAlgo disagreement keeps the stream count identical,
+    so a device route that plans from the tail reconstructs with the wrong
+    interpolator SILENTLY (caught on real TPU hardware, round 4:
+    tuner tail said CUBIC, payload said LINEAR, decode was off by 13.2).
+    decode_payload_device must take every interp param from the payload."""
+    import struct
+
+    dims = (48, 40, 36)
+    data = _field(dims, seed=7)
+    conf = _conf(dims, algo=0, stride=16)  # payload: LINEAR
+    blob = szt.compress(data, conf, set_datatype=False)
+    want, _ = szt.decompress(blob, dtype=np.float32)
+
+    _, _, size = struct.unpack_from("<IIQ", blob, 0)
+    stale, _ = Config.load(blob, 16 + size)
+    stale.interpAlgo = 1                 # tail claims: CUBIC
+    if stale.interpAnchorStride < 0:
+        stale.interpAnchorStride = 16
+    try:
+        got = device_decode.decode_payload_device(
+            stale, blob[16:16 + size], np.float32)
+    except device_decode.Fallback:
+        pytest.skip("device entropy decode unavailable on this backend")
+    assert np.array_equal(np.asarray(got).ravel(), want.ravel())
