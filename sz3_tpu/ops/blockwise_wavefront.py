@@ -59,24 +59,51 @@ def _skew_view(S: np.ndarray, nx: int, ny: int, nz: int) -> np.ndarray:
         S, shape=(nx, ny, nz), strides=(st, st + sy, st + sz))
 
 
+def _fshear(a, nout: int, fill=0):
+    """Forward shear along the middle axis: out[x, y, z] = a[x + y, y, z]
+    for x in [0, nout), nout <= a.shape[0] + 1 - ... (callers guarantee all
+    reads land inside a or in the flat end-pad).
+
+    Implemented as the flat strided-view trick — transpose y-major, flatten,
+    end-pad, reshape with row stride (X+1)*Z — so XLA lowers it to a few
+    whole-slab copies. The naive alternative (one lax.slice per y,
+    concatenated) materializes Y tensors of shape (X, 1, Z) each padded to a
+    full (8,128) vreg tile: at 256^3 that was 131x memory expansion and a
+    16.7 GB HBM OOM on real hardware (round 4)."""
+    X, Y, Z = a.shape
+    stride = (X + 1) * Z
+    flat = jnp.transpose(a, (1, 0, 2)).reshape(-1)       # [y, x, z] row-major
+    flat = jnp.pad(flat, (0, Y * stride - flat.size), constant_values=fill)
+    # out[y, x, z] = flat[y*X*Z + (x+y)*Z + z] = flat[y*stride + x*Z + z]
+    R = flat.reshape(Y, stride)[:, : nout * Z].reshape(Y, nout, Z)
+    return jnp.transpose(R, (1, 0, 2))
+
+
+def _fshear_z(a, nout: int, fill=0):
+    """out[x, y, z] = a[x + z, y, z] via _fshear with y<->z swapped."""
+    return jnp.transpose(
+        _fshear(jnp.transpose(a, (0, 2, 1)), nout, fill), (0, 2, 1))
+
+
 def skew_device(G, tot: int, lead: int = 0, off: int = 0, fill=0):
     """Device-side skew: S[lead+x+y+z, off+y, off+z] = G[x,y,z], the inverse
-    of unskew_device, again as two static shear stages (pad chains, no
-    gathers). `tot` is the output's first-axis extent; `fill` pads the
-    outside (the scan treats those lanes as garbage)."""
+    of unskew_device, as two shear stages. Each INVERSE shear
+    (A[x', y, z] = G[x' - y, y, z], fill outside) is expressed as a FORWARD
+    shear of the y-flipped, x-padded slab: with Gf = flip_y(G) and
+    Gp[x''] = Gf[x'' - (ny-1)] (x padded by ny-1 fills on BOTH sides so
+    every shear read lands on data or fill), flip_y(_fshear(Gp)) == A."""
     nx, ny, nz = G.shape
-    # stage 1: A[x+y, y, z] = G[x, y, z]  -> (nx+ny-1, ny, nz)
-    rows = [jnp.pad(jax.lax.slice(G, (0, y, 0), (nx, y + 1, nz)),
-                    ((y, ny - 1 - y), (0, 0), (0, 0)),
-                    constant_values=fill) for y in range(ny)]
-    A = jnp.concatenate(rows, axis=1)
-    # stage 2: S[x'+z, y, z] = A[x', y, z] -> (nx+ny+nz-2, ny, nz)
+    # stage 1: A[x', y, z] = G[x' - y, y, z]  -> (nx+ny-1, ny, nz)
     nxy = nx + ny - 1
-    cols = [jnp.pad(jax.lax.slice(A, (0, 0, z), (nxy, ny, z + 1)),
-                    ((z, nz - 1 - z), (0, 0), (0, 0)),
-                    constant_values=fill) for z in range(nz)]
-    S = jnp.concatenate(cols, axis=2)
-    pad0 = (lead, tot - lead - (nx + ny + nz - 2))
+    Gp = jnp.pad(G[:, ::-1, :], ((ny - 1, ny - 1), (0, 0), (0, 0)),
+                 constant_values=fill)
+    A = _fshear(Gp, nxy, fill)[:, ::-1, :]
+    # stage 2: S[x'+z, y, z] = A[x', y, z] -> (nx+ny+nz-2, ny, nz)
+    nxyz = nx + ny + nz - 2
+    Ap = jnp.pad(A[:, :, ::-1], ((nz - 1, nz - 1), (0, 0), (0, 0)),
+                 constant_values=fill)
+    S = _fshear_z(Ap, nxyz, fill)[:, :, ::-1]
+    pad0 = (lead, tot - lead - nxyz)
     return jnp.pad(S, (pad0, (off, 0), (off, 0)), constant_values=fill)
 
 
@@ -142,14 +169,9 @@ def unskew_device(S, nx: int, ny: int, nz: int, lead: int = LEAD,
     body = jax.lax.slice(S, (lead, off, off),
                          (S.shape[0], off + ny, off + nz))
     # stage 1: A[x', y, z] = body[x' + z, y, z]   (x' in [0, nx+ny-1))
-    nxy = nx + ny - 1
-    cols = [jax.lax.slice(body, (z, 0, z), (z + nxy, ny, z + 1))
-            for z in range(nz)]
-    A = jnp.concatenate(cols, axis=2)
+    A = _fshear_z(body, nx + ny - 1)
     # stage 2: G[x, y, z] = A[x + y, y, z]
-    rows = [jax.lax.slice(A, (y, y, 0), (y + nx, y + 1, nz))
-            for y in range(ny)]
-    return jnp.concatenate(rows, axis=1)
+    return _fshear(A, nx)
 
 
 @lru_cache(maxsize=8)
