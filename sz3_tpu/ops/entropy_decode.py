@@ -429,9 +429,7 @@ def _compact_kernel(off_ref, skip_ref, n_ref, syms_ref, _aliased,
     row-major tile) at its exclusive prefix offset. Same accumulator +
     granule scheme as the encode splice, on int32 elements."""
     i32 = jnp.int32
-    ci = pl.program_id(0)
-    base = ci * jnp.int32(COMPACT_BATCH)
-    abase = off_ref[base] >> i32(7)
+    abase = off_ref[0, 0, 0] >> i32(7)
     acc[:] = jnp.zeros_like(acc)
     # Mosaic's dynamic sublane rotate requires an 8-aligned sublane count
     # (vector<3x128> fails "unsupported unaligned shape" on real hardware):
@@ -447,9 +445,9 @@ def _compact_kernel(off_ref, skip_ref, n_ref, syms_ref, _aliased,
     pad_to = (padr + 1 + 7) // 8 * 8
 
     for s in range(COMPACT_BATCH):
-        o = off_ref[base + jnp.int32(s)]
-        sk = skip_ref[base + jnp.int32(s)]
-        n = n_ref[base + jnp.int32(s)]
+        o = off_ref[0, 0, s]
+        sk = skip_ref[0, 0, s]
+        n = n_ref[0, 0, s]
 
         @pl.when(n > 0)
         def _():
@@ -477,8 +475,7 @@ def _compact_kernel(off_ref, skip_ref, n_ref, syms_ref, _aliased,
             cur = acc[pl.ds(rr, pad_to), :]
             acc[pl.ds(rr, pad_to), :] = cur | region
 
-    last = base + jnp.int32(COMPACT_BATCH - 1)
-    end_e = off_ref[last] + n_ref[last]
+    end_e = off_ref[0, 0, COMPACT_BATCH - 1] + n_ref[0, 0, COMPACT_BATCH - 1]
     span_g = (end_e - (abase << i32(7)) + i32(128 * 128 - 1)) >> i32(14)
     for g in range(acc.shape[0] // 128):
         @pl.when(i32(g) < span_g)
@@ -505,15 +502,26 @@ def _compact_kernel(off_ref, skip_ref, n_ref, syms_ref, _aliased,
 def _compact(symsT, off, skip, n, out_zeros, nbatches: int, capr: int):
     acc_rows = (COMPACT_BATCH * capr + 256 + 127) // 128 * 128
     kern = functools.partial(_compact_kernel, capr=capr)
+    # Block the scalar streams per grid step: whole-array SMEM residency is
+    # 3 x nwinp x 4 B and blows the 1 MB SMEM budget at 256^3 (~74k windows;
+    # real-hardware OOM, round 4). 1D SMEM operands carry an XLA T(1024)
+    # tiling that rejects 128-wide blocks, so they ride as (nbatches, 128)
+    # rows with one row per step.
+    off = off.reshape(nbatches, 1, COMPACT_BATCH)
+    skip = skip.reshape(nbatches, 1, COMPACT_BATCH)
+    n = n.reshape(nbatches, 1, COMPACT_BATCH)
     with jax.enable_x64(False):
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct(out_zeros.shape, jnp.int32),
             grid=(nbatches,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, COMPACT_BATCH), lambda c: (c, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, COMPACT_BATCH), lambda c: (c, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, COMPACT_BATCH), lambda c: (c, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((COMPACT_BATCH * capr, 128), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
