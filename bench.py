@@ -611,6 +611,9 @@ def bench_f64_device(data, nbytes):
         conf = Config(dims=d64.shape, cmprAlgo=ALGO.INTERP, absErrorBound=EB)
         cap = 2 * d64.nbytes + 4096
         payload = device_encode.encode_payload_device(conf.copy(), d64, cap)
+        from sz3_tpu import runtime
+        host_payload = runtime.compress_payload(conf.copy(), d64, cap)
+        assert payload == host_payload, "f64 device archive != host engine"
         walls = []
         for _ in range(max(2, REPS // 2)):
             t = time.time()

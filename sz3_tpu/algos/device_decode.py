@@ -38,7 +38,7 @@ from ..ops.interp_fast import (build_fast_plan, decode_grid_fast, _maybe_on,
 from ..ops.stream_layout import build_stream_layout
 from ..ops.stream_unlayout import (build_inverse_plan, dense_count,
                                    invert_stream_layout)
-from .device_encode import Fallback, _fall
+from .device_encode import Fallback, _fall, _native_x64
 
 
 @lru_cache(maxsize=16)
@@ -125,6 +125,9 @@ def decode_payload_device(conf: Config, payload: bytes, dtype) -> np.ndarray:
     TPU f64 rides the float-float emulation like the non-packed route)."""
     if np.dtype(dtype) not in (np.float32, np.float64):
         raise _fall("device decode path is float-only")
+    if np.dtype(dtype) == np.float64 and not _native_x64():
+        # see encode_payload_device: TPU float-float f64 storage is lossy
+        raise _fall("f64 device route needs a native-x64 backend")
     # The payload open MUST precede the static plan: the archive's Config
     # tail records the tuner's interp choice, but the payload header is
     # authoritative (the interp compressor re-tunes and can store a different

@@ -59,6 +59,18 @@ def _fall(reason: str) -> "Fallback":
     return Fallback(reason)
 
 
+def _native_x64() -> bool:
+    """True when the execution device stores IEEE f64 natively (CPU).
+    XLA:TPU's x64-removal pass stores f64 as float-float f32 pairs —
+    measured on real hardware (round 4): a bare device_put does not
+    round-trip f64 bit patterns, so no f64-dtype device path can be
+    byte-parity there."""
+    from ..ops.interp_fast import exec_device
+    dev = exec_device()
+    plat = dev.platform if dev is not None else jax.default_backend()
+    return plat == "cpu"
+
+
 def _cap_rows(num: int) -> int:
     # literal capacity: anchors (~num/32^N) + unpredictable points; fields
     # with more literals than ~3% are better served by the host path anyway
@@ -213,6 +225,17 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
         else np.dtype(data.dtype)
     if dtype not in (np.float32, np.float64):
         raise _fall("device entropy path is float-only")
+    if dtype == np.float64 and not _native_x64():
+        # XLA:TPU's x64-removal pass stores f64 as float-float pairs: a bare
+        # device_put does not round-trip f64 bit patterns (measured on
+        # hardware, round 4), and bitcast-convert f64->i32 fails to compile.
+        # Byte parity for f64 on TPU therefore requires the i32 softfloat
+        # end-to-end; until that route exists the host engine serves f64.
+        raise _fall("f64 device route needs a native-x64 backend")
+    if conf.interpAnchorStride < 0:
+        # direct callers (bench, serving) may pass an unresolved stride; a
+        # negative value poisons the layout-plan arithmetic
+        conf.interpAnchorStride = [4096, 128, 32, 16][conf.N - 1]
     from ..ops import quantize as qz
 
     # Field screen for the pow2 softfloat bypass: evaluated on the concrete
