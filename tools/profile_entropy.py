@@ -78,7 +78,7 @@ def main():
         tuple(dims), int(conf.interpAlgo), conf.interpDirection,
         conf.interpAnchorStride, conf.interpAlpha, conf.interpBeta,
         conf.absErrorBound, conf.quantbinCnt, "float32")
-    jit_a, jit_b, nc, mp, cap_rows = jits
+    jit_a, jit_b, nc, mp, cap_rows, _jit_a_hi = jits
     log(f"field {dims} {nbytes/1e6:.1f} MB  nc={nc} chunks  mp={mp}")
 
     @jax.jit
