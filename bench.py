@@ -188,7 +188,7 @@ def device_main():
     except Exception as e:
         log("device pipeline bench failed:", e)
     for fn in (bench_device_entropy, bench_device_decode, bench_wavefront_decode,
-               bench_wavefront_encode, bench_f64_device):
+               bench_wavefront_encode, bench_f64_device, bench_serving):
         try:
             res = fn(data, nbytes)
             if res:
@@ -641,6 +641,53 @@ def bench_f64_device(data, nbytes):
         return {"f64_entropy_enc_wall_gbs": round(d64.nbytes / wall / 1e9, 3)}
     except Exception as e:
         log("f64 device bench skipped:", e)
+
+
+def bench_serving(data, nbytes):
+    """Pipelined serving steady-state: a stream of same-shape fields through
+    serving.compress_batch with the device-entropy route, host tree/zstd
+    overlapped with device compute (serving._compress_batch_device_entropy).
+    Steady-state = second batch (first pays compiles), reported as fields/s
+    and GB/s/chip. Archives spot-checked against the host engine."""
+    try:
+        import jax
+        if jax.default_backend() != "tpu":
+            log("serving bench skipped: no TPU backend")
+            return
+        import os
+        import sz3_tpu as szt
+        from sz3_tpu import serving
+        from sz3_tpu.config import ALGO, Config
+
+        k = int(os.environ.get("SZT_BENCH_SERVE_FIELDS", "6"))
+        rng = np.random.default_rng(7)
+        stack = np.stack([data * (1.0 + 0.01 * i) + rng.standard_normal(data.shape).astype(np.float32) * 1e-4
+                          for i in range(k)])
+        conf = Config(dims=data.shape, cmprAlgo=ALGO.INTERP, absErrorBound=EB)
+        conf.interpAnchorStride = 32
+        prev = os.environ.get("SZT_DEVICE_ENTROPY")
+        os.environ["SZT_DEVICE_ENTROPY"] = "1"
+        try:
+            blobs = serving.compress_batch(stack, conf.copy())  # warm/compile
+            t = time.time()
+            blobs = serving.compress_batch(stack, conf.copy())
+            wall = time.time() - t
+        finally:
+            if prev is None:
+                os.environ.pop("SZT_DEVICE_ENTROPY", None)
+            else:
+                os.environ["SZT_DEVICE_ENTROPY"] = prev
+        host_blob = szt.compress(stack[0], conf.copy(), backend="native")
+        assert blobs[0] == host_blob, "serving archive != host engine"
+        gbs = k * nbytes / wall / 1e9
+        log(f"TPU pipelined serving steady-state ({k} fields of "
+            f"{'x'.join(map(str, data.shape))}): {wall:.2f}s total -> "
+            f"{k/wall:.2f} fields/s, {gbs:.2f} GB/s/chip "
+            f"(host tree+zstd overlapped with device compute)")
+        return {"serving_gbs": round(gbs, 3),
+                "serving_fields_per_s": round(k / wall, 2)}
+    except Exception as e:
+        log("serving bench skipped:", e)
 
 
 def bench_chunked(data, nthreads, nbytes):
