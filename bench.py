@@ -396,6 +396,38 @@ def bench_device_entropy(data, nbytes):
             device_encode.encode_payload_device(mkconf(), xd, cap)
             walls.append(time.time() - t)
         wall = min(walls)
+        # compute isolation: time jit A and jit B with block_until_ready on
+        # the DEVICE outputs (no payload readback; each timing includes one
+        # ~26 ms RPC sync on the tunnel, so this upper-bounds device compute)
+        c = mkconf()
+        from sz3_tpu.ops.interp_fast import _maybe_on, exec_device
+        plan, lp, jits = device_encode._static(
+            tuple(c.dims), int(c.interpAlgo), c.interpDirection,
+            c.interpAnchorStride, c.interpAlpha, c.interpBeta,
+            c.absErrorBound, c.quantbinCnt, "float32")
+        jit_a, jit_b, nc, mp, cap_rows, _ = jits
+        num = int(np.prod(data.shape))
+        with _maybe_on(exec_device()):
+            outs_a = jit_a(xd)
+            jax.block_until_ready(outs_a)
+            bins_stream, hist, lits, nlit = outs_a
+            tree, total_bits, n_lit, tc, tl, c0 = device_encode._tree_and_tables(
+                hist, nlit, cap_rows, c.quantbinCnt, num)
+            tc_d, tl_d, c0_d = (jnp.asarray(tc), jnp.asarray(tl),
+                                jnp.asarray(c0))
+            jax.block_until_ready(jit_b(bins_stream, tc_d, tl_d, c0_d))
+            ta, tb = [], []
+            for _ in range(REPS):
+                t = time.time()
+                jax.block_until_ready(jit_a(xd))
+                ta.append(time.time() - t)
+                t = time.time()
+                jax.block_until_ready(jit_b(bins_stream, tc_d, tl_d, c0_d))
+                tb.append(time.time() - t)
+        t_a, t_b = min(ta), min(tb)
+        log(f"  entropy encode compute isolation: jit A {t_a*1e3:.1f} ms + "
+            f"jit B {t_b*1e3:.1f} ms = {(t_a+t_b)*1e3:.1f} ms -> "
+            f"{nbytes/(t_a+t_b)/1e9:.2f} GB/s/chip (incl. 2 RPC syncs)")
         # measure the D2H tunnel rate to decompose the wall time honestly
         probe = jnp.zeros((1 << 20,), jnp.int32) + 1
         import numpy as _np
@@ -413,6 +445,7 @@ def bench_device_entropy(data, nbytes):
             f"({nbytes/compute/1e9:.2f} GB/s/chip)")
         return {"entropy_enc_wall_gbs": round(nbytes / wall / 1e9, 3),
                 "entropy_enc_compute_gbs": round(nbytes / compute / 1e9, 2),
+                "entropy_enc_jit_gbs": round(nbytes / (t_a + t_b) / 1e9, 2),
                 "d2h_gbs": round(d2h_gbs, 3)}
     except Exception as e:
         log("device-entropy bench skipped:", e)
@@ -454,6 +487,12 @@ def bench_device_decode(data, nbytes):
                 os.environ["SZT_DEVICE_ENTROPY"] = prev
         assert out_d.tobytes() == out_h.tobytes(), "device decode mismatch"
         wall = min(walls)
+        from sz3_tpu.ops import entropy_decode as ed
+        if ed.last_stats:
+            log(f"  decode_stream pass profile: {ed.last_stats['passes']} "
+                f"passes over {ed.last_stats['nwin']} windows, walls "
+                f"{ed.last_stats['pass_walls']}, redo counts "
+                f"{ed.last_stats['redo_counts']}")
         # isolate the tunnel: the decoded array (nbytes) rides D2H once per
         # decode; on the remote-attached chip that link is ~0.03 GB/s and
         # dominates the wall. Compute = wall - output readback at the
@@ -500,6 +539,7 @@ def bench_wavefront_decode(data, nbytes):
         t = time.time()
         szt.decompress(blob)
         host_dec = time.time() - t
+        szt.decompress(blob, backend="jax")   # compile/warm (one-time ~20-70s)
         t = time.time()
         szt.decompress(blob, backend="jax")
         wall = time.time() - t
@@ -561,6 +601,7 @@ def bench_wavefront_encode(data, nbytes):
         t = time.time()
         blob_n = szt.compress(data, conf.copy(), backend="native")
         host_enc = time.time() - t
+        szt.compress(data, conf.copy(), backend="jax")  # compile/warm
         t = time.time()
         blob_d = szt.compress(data, conf.copy(), backend="jax")
         wall = time.time() - t

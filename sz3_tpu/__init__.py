@@ -8,6 +8,26 @@ Public API (mirrors the reference templated API, reference api/sz.hpp:43,117):
     out, conf2 = szt.decompress(blob)        # -> np.ndarray, Config
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: the wavefront/entropy device programs
+# compile in 20-70 s; caching them on disk makes every process after the
+# first pay ~0 (key = HLO + compiler version + chip, so stale entries can't
+# be loaded). Opt out with SZT_COMP_CACHE=0 or point elsewhere via
+# SZT_COMP_CACHE_DIR. Set lazily-safe: config flags only, no backend init.
+if _os.environ.get("SZT_COMP_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("SZT_COMP_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/sz3_tpu/xla")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
 from .config import Config, EB, ALGO, INTERP_ALGO, DataType
 from .api import compress, decompress, compress_size_bound
 from .stats import verify

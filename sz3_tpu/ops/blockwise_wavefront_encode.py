@@ -419,13 +419,16 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
 
             if certified:
                 break
-            # ---- pass D: validation — true selection from recon pads
-            S_host = np.asarray(S)
-            recon_g = _skew_view(S_host[LEAD:, 2:, 2:], NX, NY, NZ).copy()
-            Rp = np.zeros((NX + 2, NY + 2, NZ + 2), np.float32)
-            Rp[2:, 2:, 2:] = recon_g
+            # ---- pass D: validation — true selection from recon pads.
+            # The unskew + front-pad + selection all run ON DEVICE: only the
+            # (nb) selection mask crosses D2H. (Reading the full skewed slab
+            # back per pass is ~3x the field in bytes — on a remote-attached
+            # chip that single transfer dominated the whole encode.)
+            from .blockwise_wavefront import _jit_unskew
+            recon_dev = _jit_unskew((NX, NY, NZ))(S)
+            Rp_dev = jnp.pad(recon_dev, ((2, 0), (2, 0), (2, 0)))
             is_reg_true = np.asarray(sel_fn(
-                orig_p_dev, jnp.asarray(Rp), ex_dev, m_dev,
+                orig_p_dev, Rp_dev, ex_dev, m_dev,
                 jnp.asarray(coefs_g)))
             if np.array_equal(is_reg_true, is_reg):
                 certified = True
