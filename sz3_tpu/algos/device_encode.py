@@ -104,6 +104,11 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
         bins_list, _b0, _ = encode_grid_fast(x, plan)
         _, curs = _decimation_chain(x, plan)
         anchors_idx = tuple(slice(0, None, plan.anchor_stride) for _ in dims)
+        # two separate layout applications (bins, then originals): a batched
+        # single application was tried in round 5 and measured SLOWER — the
+        # per-pass jnp.stack lowers to dynamic-update-slices (+3.2 ms) and
+        # the doubled-minor reshapes fuse worse (+2 ms) than the op-count
+        # saving (xplane traces r5trace3 vs r5trace4)
         bins_stream = apply_stream_layout(
             jnp, lp, bins_list, jnp.zeros_like(x[anchors_idx], jnp.int32),
             jnp.int32(SENTINEL))

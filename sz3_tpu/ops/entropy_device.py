@@ -56,15 +56,27 @@ jax.config.update("jax_enable_x64", True)
 LANES = 128
 ROW_ELEMS = 64                      # elements packed per row by the scan
 CHUNK = LANES * ROW_ELEMS           # 8192 elements per grid step
-ROWBUF_W = ROW_ELEMS + 2            # words per row buffer (<=32 bits/code)
-FRAME_W = ROWBUF_W * LANES          # words per chunk frame (8448)
-FRAME_SUB = FRAME_W // LANES        # frame rows when viewed (66, 128)
-MERGE_LEVELS = 6                    # in-kernel merge depth; remaining splits
-SEGS_PER_CHUNK = 128 >> MERGE_LEVELS   # become separate splice segments
-SEG_W = ROWBUF_W * (1 << MERGE_LEVELS)  # words per emitted segment (4224)
+ROWBUF_W = 72                       # words per row buffer (<=32 bits/code ->
+                                    # 64 full + 1 partial; padded to a size
+                                    # whose SEG_W divides 128 at MERGE_LEVELS)
+FRAME_W = ROWBUF_W * LANES          # words per chunk frame (9216)
+FRAME_SUB = FRAME_W // LANES        # frame rows when viewed (72, 128)
+MERGE_LEVELS = 4                    # in-kernel merge depth; remaining splits
+                                    # become separate splice segments (the
+                                    # splice is ~0.9 ms for 4k segments —
+                                    # round-5 trace — so trading the two
+                                    # largest merge levels for 4x segments
+                                    # removes ~75% of the merge-tree work)
+SEGS_PER_CHUNK = 128 >> MERGE_LEVELS   # 8
+SEG_W = ROWBUF_W * (1 << MERGE_LEVELS)  # words per emitted segment (1152)
 SMALL_W = 16                        # small merge class: every lane's packed
                                     # row fits 16 words (<= 8 bits/symbol avg)
-SEG_SUB = SEG_W // LANES            # segment rows viewed (33, 128)
+SEG_SUB = SEG_W // LANES            # segment rows viewed (9, 128)
+# after L merge levels the surviving segment lanes are l < SEGS_PER_CHUNK and
+# lane l holds rows bitrev(l)*2^L..: emit must map stream-order segment k to
+# lane bitrev(k) (for MERGE_LEVELS=6 the 1-bit reversal was the identity)
+_SEG_LANE = [int(f"{i:0{7 - MERGE_LEVELS}b}"[::-1], 2)
+             for i in range(SEGS_PER_CHUNK)]
 # (DMA sublane region sizes must be multiples of 8 — the TPU faults on
 # non-multiple-of-8 dynamic DMA regions; the splice uses 128-row granules)
 
@@ -116,26 +128,24 @@ def _hist_kernel(wlo_ref, bins_tile_ref, orig_tile_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         ptr_ref[0] = 0
 
-    # exact two-level histogram on the MXU: per sublane-row, transpose the
-    # 128 elements onto sublanes and dot the int8 one-hots (s8 x s8 -> s32 is
-    # exact). A (CHUNK,1)-shaped input would waste 127/128 of every vreg.
+    # exact two-level histogram on the MXU: build the one-hots with the
+    # BUCKET on the sublane axis and the element on the lane axis (so the
+    # (64,128) tile layout is consumed directly — no transposes), in int8
+    # end-to-end (packed compares run 4x the int32 rate), and fire ONE
+    # 8192-contraction s8 dot per chunk: m[h,l] = sum_e hiOH[h,e]*loOH[l,e].
     idx_t = _sym_index(bins_tile_ref[:], wlo_ref[0])     # (64, 128)
     hi_t = idx_t >> jnp.int32(7)
     lo_t = idx_t & jnp.int32(127)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-    # transpose each sublane-row's 128 elements onto sublanes (a (64,128) or
-    # (CHUNK,1)-shaped operand wastes 127/128 of every vreg), build the int8
-    # one-hots densely, and fire ONE (8192-contraction) s8 dot per chunk
-    hiT = jnp.transpose(hi_t, (1, 0))                    # (128, 64), one relayout
-    loT = jnp.transpose(lo_t, (1, 0))
-    ohh_rows = []
-    ohl_rows = []
+    # (the VPU has no sub-32-bit compares; compare in int32, store int8)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    ohh_cols = []
+    ohl_cols = []
     for r in range(ROW_ELEMS):
-        ohh_rows.append((hiT[:, r:r + 1] == lane128).astype(jnp.int8))
-        ohl_rows.append((loT[:, r:r + 1] == lane128).astype(jnp.int8))
-    ohh = jnp.concatenate(ohh_rows, axis=0)              # (CHUNK, 128)
-    ohl = jnp.concatenate(ohl_rows, axis=0)
-    m = jax.lax.dot_general(ohh, ohl, (((0,), (0,)), ((), ())),
+        ohh_cols.append((sub128 == hi_t[r:r + 1, :]).astype(jnp.int8))
+        ohl_cols.append((sub128 == lo_t[r:r + 1, :]).astype(jnp.int8))
+    ohhT = jnp.concatenate(ohh_cols, axis=1)             # (128, CHUNK)
+    ohlT = jnp.concatenate(ohl_cols, axis=1)
+    m = jax.lax.dot_general(ohhT, ohlT, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
     acc_ref[:] = acc_ref[:] + m
 
@@ -328,27 +338,30 @@ def _pack_kernel(wlo_ref, c0_ref, bins_ref, tc_ref, tl_ref,
     codes = jnp.where(idx == i32(1), i32(0), codes)
     lens = jnp.where(idx == i32(1), i32(0), lens)
 
-    # 64-step scan: pack each lane's 64 codes MSB-first into its row buffer
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (ROWBUF_W, LANES), 0)
+    # exact per-lane bit totals BEFORE the scan: picks the size class so the
+    # scan's rowbuf-update traffic (a (rows,128) where per step) runs at
+    # SMALL_W rows for typical chunks instead of the 72-row worst case
+    bits = jnp.sum(lens, axis=0, keepdims=True, dtype=jnp.int32)  # (1,128)
 
-    z = jnp.zeros((1, LANES), jnp.int32)
-    buf, cnt, ptr = z, z, z
-    rowbuf = jnp.zeros((ROWBUF_W, LANES), jnp.int32)
-    i32 = jnp.int32
-    for t in range(ROW_ELEMS):                            # python-unrolled
-        c = codes[t:t + 1, :]                             # (1,128) right-aligned
-        l = lens[t:t + 1, :]
-        total = cnt + l
-        emit = total >= i32(32)
-        w = buf | _shr32(c, total - i32(32))              # valid when emit
-        rowbuf = jnp.where((iota_w == ptr) & emit, w, rowbuf)
-        buf = jnp.where(emit, _shl32(c, i32(64) - total),
-                        buf | _shl32(c, i32(32) - total))
-        cnt = jnp.where(emit, total - i32(32), total)
-        ptr = ptr + emit.astype(jnp.int32)
-    # park the partial word (upper cnt bits) at ptr
-    rowbuf = jnp.where(iota_w == ptr, buf, rowbuf)
-    bits = ptr * 32 + cnt                                 # (1,128) row bit lengths
+    def scan_rows(rows: int):
+        """64-step scan: pack each lane's codes MSB-first into `rows` words."""
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        z = jnp.zeros((1, LANES), jnp.int32)
+        buf, cnt, ptr = z, z, z
+        rowbuf = jnp.zeros((rows, LANES), jnp.int32)
+        for t in range(ROW_ELEMS):                        # python-unrolled
+            c = codes[t:t + 1, :]                         # (1,128) right-aligned
+            l = lens[t:t + 1, :]
+            total = cnt + l
+            emit_w = total >= i32(32)
+            w = buf | _shr32(c, total - i32(32))          # valid when emit
+            rowbuf = jnp.where((iota_w == ptr) & emit_w, w, rowbuf)
+            buf = jnp.where(emit_w, _shl32(c, i32(64) - total),
+                            buf | _shl32(c, i32(32) - total))
+            cnt = jnp.where(emit_w, total - i32(32), total)
+            ptr = ptr + emit_w.astype(jnp.int32)
+        # park the partial word (upper cnt bits) at ptr
+        return jnp.where(iota_w == ptr, buf, rowbuf)
 
     # MERGE_LEVELS(=6)-level binary merge leaving SEGS_PER_CHUNK(=2) splice
     # segments; lanes are bit-reversed rows so half-pairing concatenates in
@@ -391,38 +404,47 @@ def _pack_kernel(wlo_ref, c0_ref, bins_ref, tc_ref, tl_ref,
             blen = blen + rlen
         return frame, blen
 
-    def emit(frame, blen, grain):
-        # content-proportional segment write: segment k's words live in
-        # frame[:, k] rows [0, ceil(cbits/32)); only granules overlapping
-        # content are stored (the splice never reads beyond content)
+    def emit(frame, blen):
+        # content-proportional segment write in the splice's NATURAL (row,
+        # lane) word layout: stream-order segment k's word w lands at
+        # frames row k*SEG_SUB + (w>>7), lane w&127. One in-kernel transpose
+        # turns the merge's per-lane word columns into lane-major rows;
+        # 128-aligned static lane slices then store row granules. (The
+        # previous (FRAME_W, 1) column output forced XLA to relayout 80 MB
+        # through a degenerate-dim reduce — 13.8 ms at 256^3, round-5 trace.)
+        frameT = jnp.transpose(frame, (1, 0))            # (128, cap)
+        crows_cap = frame.shape[0] // 128
         for k in range(SEGS_PER_CHUNK):
-            cw = (blen[0, k] + jnp.int32(31)) >> jnp.int32(5)
-            for g in range(0, frame.shape[0], grain):
-                @pl.when(jnp.int32(g) < cw)
+            lane = _SEG_LANE[k]
+            cw = (blen[0, lane] + jnp.int32(31)) >> jnp.int32(5)
+            crows = (cw + jnp.int32(127)) >> jnp.int32(7)
+            for r in range(min(SEG_SUB, crows_cap)):
+                @pl.when(jnp.int32(r) < crows)
                 def _():
-                    frames_ref[k * SEG_W + g:k * SEG_W + g + grain, :] = \
-                        frame[g:g + grain, k:k + 1]
-            cbits_ref[ci * SEGS_PER_CHUNK + k] = blen[0, k]
+                    frames_ref[k * SEG_SUB + r:k * SEG_SUB + r + 1, :] = \
+                        frameT[lane:lane + 1, r * 128:(r + 1) * 128]
+            cbits_ref[ci * SEGS_PER_CHUNK + k] = blen[0, lane]
 
     maxbits = jnp.max(bits, axis=1, keepdims=True)[0, 0]
     small = maxbits < jnp.int32(SMALL_W * 32)
 
     @pl.when(small)
     def _():
-        frame, blen = merge(rowbuf[:SMALL_W, :], bits)
-        emit(frame, blen, 64)
+        frame, blen = merge(scan_rows(SMALL_W), bits)
+        emit(frame, blen)
 
     @pl.when(jnp.logical_not(small))
     def _():
-        frame, blen = merge(rowbuf, bits)
-        emit(frame, blen, SEG_W)      # rare worst-case class: single write
+        frame, blen = merge(scan_rows(ROWBUF_W), bits)
+        emit(frame, blen)             # rare worst-case class
 
 
 def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, c0, nc):
     with jax.enable_x64(False):
         return pl.pallas_call(
             _pack_kernel,
-            out_shape=(jax.ShapeDtypeStruct((nc * FRAME_W, 1), jnp.int32),
+            out_shape=(jax.ShapeDtypeStruct((nc * SEGS_PER_CHUNK * SEG_SUB,
+                                             128), jnp.int32),
                        jax.ShapeDtypeStruct((nc * SEGS_PER_CHUNK,), jnp.int32)),
             grid=(nc,),
             in_specs=[
@@ -433,7 +455,8 @@ def _pack_chunks(bins_bitrev, table_codes, table_lens, wlo, c0, nc):
                 pl.BlockSpec((TBL_ROWS, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((FRAME_W, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SEGS_PER_CHUNK * SEG_SUB, 128),
+                             lambda c: (c, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[pltpu.VMEM((ROW_ELEMS, LANES), jnp.int32),
@@ -453,6 +476,7 @@ SPLICE_BATCH = 128                  # segments assembled in VMEM per grid step
 ACC_ROWS = SPLICE_BATCH * SEG_SUB + 128   # batch accumulator (worst span +
                                           # start offset + rotation spill)
 ACC_G = -(-ACC_ROWS // 128)         # 128-row output granules per batch
+_RMW = (SEG_SUB + 1 + 7) // 8 * 8   # 8-aligned rows per segment RMW placement
 
 
 def _splice_kernel(gw_ref, gbit_ref, cb_ref, frames_ref, _aliased_in,
@@ -501,10 +525,10 @@ def _splice_kernel(gw_ref, gbit_ref, cb_ref, frames_ref, _aliased_in,
             keep = jnp.pad(rot, ((0, 1), (0, 0)))
             down = jnp.pad(down, ((0, 1), (0, 0)))
             region = jnp.where(lane_r < gl, down, keep)
-            region = jnp.pad(region, ((0, 40 - (SEG_SUB + 1)), (0, 0)))
+            region = jnp.pad(region, ((0, _RMW - (SEG_SUB + 1)), (0, 0)))
             rr = rel >> i32(7)
-            cur = acc_ref[pl.ds(rr, 40), :]
-            acc_ref[pl.ds(rr, 40), :] = cur | region
+            cur = acc_ref[pl.ds(rr, _RMW), :]
+            acc_ref[pl.ds(rr, _RMW), :] = cur | region
 
     # span of this batch in 128-row granules (last segment's end)
     last = base + jnp.int32(SPLICE_BATCH - 1)
@@ -560,6 +584,28 @@ def _splice(frames, gw, gbit, cb, out_zeros, nbatches):
         )(gw, gbit, cb, frames, out_zeros)
 
 
+def _exclusive_prefix_bits(cbits):
+    """Exclusive prefix sum of the per-segment bit counts, in int64.
+
+    jnp.cumsum(int64) lowers to an emulated-int64 reduce that measured
+    ~13 ms at 256^3 on real hardware (round-5 xplane trace) — for a
+    4k-element scan. Two-level instead: an int32 log-shift scan within
+    128-lane rows (per-row totals <= 128 segs * 2*SEG_W*32 bits < 2^31),
+    then a row-offset cumsum on the (tiny) row-total vector in int64."""
+    n = cbits.shape[0]
+    rows = -(-n // 128)
+    c2 = jnp.pad(cbits, (0, rows * 128 - n)).reshape(rows, 128)
+    s = c2
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        s = s + jnp.where(lane >= sh, jnp.roll(s, sh, axis=1), 0)
+    row_tot = s[:, -1].astype(jnp.int64)                 # (rows,) inclusive
+    row_off = jnp.cumsum(row_tot) - row_tot              # tiny int64 scan
+    incl = s.astype(jnp.int64) + row_off[:, None]
+    excl = incl - c2.astype(jnp.int64)
+    return excl.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("nc", "out_sub"))
 def pack_bits(bins_padded, table_codes, table_lens, wlo, c0, nc: int,
               out_sub: int):
@@ -574,7 +620,7 @@ def pack_bits(bins_padded, table_codes, table_lens, wlo, c0, nc: int,
 
     frames, cbits = _pack_chunks(bins_bitrev, table_codes, table_lens, wlo,
                                  c0, nc)
-    goff = jnp.cumsum(cbits.astype(jnp.int64)) - cbits.astype(jnp.int64)
+    goff = _exclusive_prefix_bits(cbits)
     gw = (goff >> 5).astype(jnp.int32)
     gbit = (goff & 31).astype(jnp.int32)
     nseg = nc * SEGS_PER_CHUNK

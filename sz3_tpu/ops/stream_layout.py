@@ -244,28 +244,46 @@ def _factor_axis(xp, arr, axis: int, f: AxisFactor, fill):
     return xp.concatenate([extra, rest], axis=axis + 1)
 
 
-def _within_flatten(xp, t, n_nb: int, dd: int, phases, fill):
-    """t: (*nb, *w(+sentinel col on dd)) -> (*nb, S) in phase emission order."""
-    wnd = t.ndim - n_nb
+def _take_cols(xp, t, cols: np.ndarray, axis: int):
+    """Static column pick; contiguous runs become slices (a constant-index
+    xp.take lowers to an XLA gather — measurably slower than a slice)."""
+    cols = np.asarray(cols)
+    if cols.size and np.array_equal(
+            cols, np.arange(cols[0], cols[0] + cols.size)):
+        sl = [slice(None)] * t.ndim
+        sl[axis] = slice(int(cols[0]), int(cols[0] + cols.size))
+        return t[tuple(sl)]
+    return xp.take(t, xp.asarray(cols), axis=axis)
+
+
+def _within_flatten(xp, t, n_nb: int, dd: int, phases, fill, bofs: int = 0):
+    """t: ([B,] *nb, *w(+sentinel col on dd)) -> ([B,] *nb, S) in phase
+    emission order. bofs = 1 when a leading batch axis is present."""
     dd_axis = n_nb + dd
     parts = []
     for cols in phases:
-        sub = xp.take(t, xp.asarray(cols), axis=dd_axis)
+        sub = _take_cols(xp, t, cols, dd_axis)
         parts.append(sub.reshape(sub.shape[:n_nb] + (-1,)))
-    return xp.concatenate(parts, axis=n_nb)
+    return xp.concatenate(parts, axis=n_nb) if len(parts) > 1 else parts[0]
 
 
-def _apply_pass(xp, arr, pl: PassLayout, nb: Tuple[int, ...], fill):
-    """Pass array -> (prod(nb), s_block) slots in within-block order."""
+def _apply_pass(xp, arr, pl: PassLayout, nb: Tuple[int, ...], fill,
+                batched: bool = False):
+    """Pass array ([B,] *dims) -> ([B,] prod(nb), s_block) slots in
+    within-block order. With batched=True, a leading axis rides along (the
+    device encode lays bins and bitcast originals out in ONE application —
+    half the relayout op count of two separate passes)."""
     N = len(nb)
+    b = 1 if batched else 0
     t = arr
     for a in range(N):
-        t = _factor_axis(xp, t, 2 * a, pl.axes[a], fill)
-    # axes now (nb0, w0, nb1, w1, ...) -> (nb..., w...)
-    perm = tuple(range(0, 2 * N, 2)) + tuple(range(1, 2 * N, 2))
+        t = _factor_axis(xp, t, b + 2 * a, pl.axes[a], fill)
+    # axes now ([B,] nb0, w0, nb1, w1, ...) -> ([B,] nb..., w...)
+    perm = tuple(range(b)) + tuple(range(b, b + 2 * N, 2)) \
+        + tuple(range(b + 1, b + 2 * N, 2))
     t = xp.transpose(t, perm)
     # append a sentinel column on the dd within-axis for short-block padding
-    dd_axis = N + pl.dd
+    dd_axis = b + N + pl.dd
     pw = [(0, 0)] * t.ndim
     pw[dd_axis] = (0, 1)
     t = xp.pad(t, pw, constant_values=fill)
@@ -276,8 +294,8 @@ def _apply_pass(xp, arr, pl: PassLayout, nb: Tuple[int, ...], fill):
         # with dd FASTEST, independent of memory order (block_interpolation
         # N==2 iterates j over the outer axis, then the whole line)
         if pl.dd != N - 1:
-            w_perm = tuple(range(N)) + tuple(
-                N + a for a in range(N) if a != pl.dd) + (N + pl.dd,)
+            w_perm = tuple(range(b + N)) + tuple(
+                b + N + a for a in range(N) if a != pl.dd) + (b + N + pl.dd,)
             t = xp.transpose(t, w_perm)
             dd_w = N - 1  # dd within-axis now last
         else:
@@ -290,41 +308,43 @@ def _apply_pass(xp, arr, pl: PassLayout, nb: Tuple[int, ...], fill):
         phases_a = pl.interior_phases
         phases_b = pl.last_phases
     if phases_a is None:
-        v = _within_flatten(xp, t, N, dd_w, phases_b, fill)
+        v = _within_flatten(xp, t, b + N, dd_w, phases_b, fill)
     else:
         # only the LAST block along dd uses the last-class column order:
         # reorder it on its own slice and concatenate (materializing the full
         # last-class variant + a select doubled the relayout traffic)
-        nb_axis = pl.dd
+        nb_axis = b + pl.dd
         sl_a = [slice(None)] * t.ndim
         sl_a[nb_axis] = slice(0, nb[pl.dd] - 1)
         sl_b = [slice(None)] * t.ndim
         sl_b[nb_axis] = slice(nb[pl.dd] - 1, nb[pl.dd])
-        vA = _within_flatten(xp, t[tuple(sl_a)], N, dd_w, phases_a, fill)
-        vB = _within_flatten(xp, t[tuple(sl_b)], N, dd_w, phases_b, fill)
+        vA = _within_flatten(xp, t[tuple(sl_a)], b + N, dd_w, phases_a, fill)
+        vB = _within_flatten(xp, t[tuple(sl_b)], b + N, dd_w, phases_b, fill)
         v = xp.concatenate([vA, vB], axis=nb_axis)
+    if batched:
+        return v.reshape(v.shape[0], -1, pl.s_block)
     return v.reshape(-1, pl.s_block)
 
 
 def apply_stream_layout(xp, lp: StreamLayoutPlan, pass_arrays: Sequence,
-                        anchor_arr, fill):
+                        anchor_arr, fill, batched: bool = False):
     """pass_arrays: one array per plan pass (bins or values), in plan order.
     anchor_arr: values for the anchor segment (anchor-lattice array) or None
-    to emit `fill`-valued anchor slots. Returns 1-D padded stream."""
+    to emit `fill`-valued anchor slots. Returns the 1-D padded stream — or,
+    with batched=True (leading axis B on every array), a (B, padded) batch
+    laid out in one application."""
+    b = 1 if batched else 0
     segs = []
     if anchor_arr is not None:
-        segs.append(anchor_arr.reshape(-1))
+        segs.append(anchor_arr.reshape(anchor_arr.shape[:b] + (-1,)))
     for lv in lp.levels:
-        nblk = 1
-        for b in lv.nb:
-            nblk *= b
         parts = [
-            _apply_pass(xp, pass_arrays[pi], pl, lv.nb, fill)
+            _apply_pass(xp, pass_arrays[pi], pl, lv.nb, fill, batched)
             for pi, pl in lv.passes
         ]
-        lvl = xp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-        segs.append(lvl.reshape(-1))
-    return xp.concatenate(segs)
+        lvl = xp.concatenate(parts, axis=1 + b) if len(parts) > 1 else parts[0]
+        segs.append(lvl.reshape(lvl.shape[:b] + (-1,)))
+    return xp.concatenate(segs, axis=b)
 
 
 # ---- validation helper ---------------------------------------------------------

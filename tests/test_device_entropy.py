@@ -72,11 +72,13 @@ CASES = [
 def test_device_payload_equals_host(dims, eb, algo):
     data = _field(dims)
     cap = 2 * data.nbytes + 4096
-    p_host = jax_backend._interp_encode_payload(_conf(dims, eb, algo),
-                                                data.copy(), cap)
+    c1 = _conf(dims, eb, algo)
     c2 = _conf(dims, eb, algo)
     if len(dims) == 2:
-        c2.interpAnchorStride = 128
+        # 2D uses the reference's 128-stride default — on BOTH paths (the
+        # archives legitimately differ across strides)
+        c1.interpAnchorStride = c2.interpAnchorStride = 128
+    p_host = jax_backend._interp_encode_payload(c1, data.copy(), cap)
     try:
         p_dev = device_encode.encode_payload_device(c2, data, cap)
     except device_encode.Fallback as e:

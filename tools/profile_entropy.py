@@ -204,9 +204,10 @@ def main():
 
     @jax.jit
     def b_red(bs, tcd, tld, c0d):
+        # force via tiny slices, NOT reductions: a jnp.sum over the outputs
+        # measured 13 ms of reduce on its own (round-5 xplane trace artifact)
         words, cbits = jit_b(bs, tcd, tld, c0d)
-        return jnp.sum(cbits, dtype=jnp.int32) + jnp.sum(
-            words[:8], dtype=jnp.int32)
+        return words[:1, :8] + cbits[:8]
 
     tb = clock("jit B pack+splice", b_red, bins_stream, tc_dev, tl_dev, c0_dev)
 
@@ -221,8 +222,7 @@ def main():
         br = x.reshape(nc * ed.ROW_ELEMS, ed.LANES)
         frames, cbits = _pack_chunks(br, tcd, tld,
                                      jnp.int32(wlo + 0 * ed.W_HALF - wlo + wlo), c0d, nc)
-        return jnp.sum(cbits, dtype=jnp.int32) + jnp.sum(
-            frames[:8, 0], dtype=jnp.int32)
+        return frames[:8, 0] + cbits[:8]
 
     tp = clock("  pack kernel only", pack_only, bins_stream, tc_dev, tl_dev,
                c0_dev)
