@@ -405,10 +405,10 @@ def bench_device_entropy(data, nbytes):
             tuple(c.dims), int(c.interpAlgo), c.interpDirection,
             c.interpAnchorStride, c.interpAlpha, c.interpBeta,
             c.absErrorBound, c.quantbinCnt, "float32")
-        jit_a, jit_b, nc, mp, cap_rows, _ = jits
+        jit_a, jit_b, nc, mp, cap_rows, gmap_dev = jits
         num = int(np.prod(data.shape))
         with _maybe_on(exec_device()):
-            outs_a = jit_a(xd)
+            outs_a = jit_a(xd, gmap_dev)
             jax.block_until_ready(outs_a)
             bins_stream, hist, lits, nlit = outs_a
             tree, total_bits, n_lit, tc, tl, c0 = device_encode._tree_and_tables(
@@ -419,7 +419,7 @@ def bench_device_entropy(data, nbytes):
             ta, tb = [], []
             for _ in range(REPS):
                 t = time.time()
-                jax.block_until_ready(jit_a(xd))
+                jax.block_until_ready(jit_a(xd, gmap_dev))
                 ta.append(time.time() - t)
                 t = time.time()
                 jax.block_until_ready(jit_b(bins_stream, tc_d, tl_d, c0_d))

@@ -97,47 +97,32 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
         num *= d
     cap_rows = _cap_rows(num)
 
-    wide = np.dtype(dtype_name) == np.float64
+    # static stream-slot -> flat-grid-index map: the literal kernel compacts
+    # SLOT indices (pure iota), and the values gather through this map from
+    # the raw field — the original-values stream never needs laying out
+    # (that layout cost ~6 ms of jit A at 256^3; interp literals are exactly
+    # original grid values, so the gather is bit-exact). Built once per
+    # config on the host, uploaded once (cached here).
+    from ..ops.stream_layout import layout_grid_indices
+    gidx = layout_grid_indices(plan, lp)
+    gmap_np = np.zeros(mp, np.int32)
+    gmap_np[:gidx.size] = np.clip(gidx, 0, num - 1).astype(np.int32)
+    gmap_dev = jnp.asarray(gmap_np)
 
     @jax.jit
-    def jit_a(x):
+    def jit_a(x, gmap):
         bins_list, _b0, _ = encode_grid_fast(x, plan)
-        _, curs = _decimation_chain(x, plan)
         anchors_idx = tuple(slice(0, None, plan.anchor_stride) for _ in dims)
-        # two separate layout applications (bins, then originals): a batched
-        # single application was tried in round 5 and measured SLOWER — the
-        # per-pass jnp.stack lowers to dynamic-update-slices (+3.2 ms) and
-        # the doubled-minor reshapes fuse worse (+2 ms) than the op-count
-        # saving (xplane traces r5trace3 vs r5trace4)
         bins_stream = apply_stream_layout(
             jnp, lp, bins_list, jnp.zeros_like(x[anchors_idx], jnp.int32),
             jnp.int32(SENTINEL))
-        orig_stream = apply_stream_layout(jnp, lp, curs, x[anchors_idx],
-                                          jnp.zeros((), x.dtype))
         pad = mp - bins_stream.shape[0]
         bins_stream = jnp.pad(bins_stream, (0, pad), constant_values=SENTINEL)
-        orig_stream = jnp.pad(orig_stream, (0, pad))
         wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
-        if wide:
-            # f64 literals through the (Mosaic f64-free) kernel: bitcast to
-            # lo/hi i32 half-streams, compact each with the same bins (the
-            # compaction pattern depends only on the bins), recombine on host
-            halves = jax.lax.bitcast_convert_type(orig_stream, jnp.int32)
-            hist, lits_lo, nlit = ed.hist_and_literals(
-                bins_stream, halves[:, 0], wlo, cap_rows)
-            # the hi half compacts in jit_a_hi: two pallas calls in ONE
-            # program segfault XLA:CPU's interpret-mode execution
-            return bins_stream, hist, (lits_lo, halves[:, 1]), nlit
-        hist, lits, nlit = ed.hist_and_literals(bins_stream, orig_stream, wlo,
-                                                cap_rows)
+        hist, slots, nlit = ed.hist_and_literals(bins_stream, wlo, cap_rows)
+        gi = gmap[jnp.clip(slots, 0, mp - 1)]
+        lits = x.reshape(-1)[gi]
         return bins_stream, hist, lits, nlit
-
-    @jax.jit
-    def jit_a_hi(bins_stream, hi_stream):
-        wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
-        _, lits_hi, _ = ed.hist_and_literals(bins_stream, hi_stream, wlo,
-                                             cap_rows)
-        return lits_hi
 
     out_sub = mp // 128 + 256
 
@@ -146,7 +131,7 @@ def _static(dims, interp_algo, direction, anchor_stride, alpha, beta, eb,
         wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
         return ed.pack_bits(bins_stream, tc, tl, wlo, c0, nc, out_sub)
 
-    return plan, lp, (jit_a, jit_b, nc, mp, cap_rows, jit_a_hi)
+    return plan, lp, (jit_a, jit_b, nc, mp, cap_rows, gmap_dev)
 
 
 def _tree_and_tables(hist, nlit, cap_rows: int, quantbin_cnt: int, num: int):
@@ -215,11 +200,6 @@ def _literals(lits, n_lit: int, dtype) -> np.ndarray:
     if n_lit == 0:
         return np.zeros(0, dtype)
     lit_rows = -(-n_lit // 128)
-    if isinstance(lits, tuple):  # f64: recombine the lo/hi i32 half-streams
-        lo = np.asarray(lits[0][:lit_rows]).ravel()[:n_lit]
-        hi = np.asarray(lits[1][:lit_rows]).ravel()[:n_lit]
-        return ((hi.view(np.uint32).astype(np.uint64) << 32)
-                | lo.view(np.uint32).astype(np.uint64)).view(np.float64)
     return np.asarray(lits[:lit_rows]).ravel()[:n_lit]
 
 
@@ -255,7 +235,7 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
                              screen)
     if lp is None:
         raise _fall("no anchor grid")
-    jit_a, jit_b, nc, mp, cap_rows, jit_a_hi = jits
+    jit_a, jit_b, nc, mp, cap_rows, gmap_dev = jits
     num = int(np.prod(conf.dims))
 
     from ..ops.interp_fast import _maybe_on, exec_device
@@ -263,9 +243,7 @@ def encode_payload_device(conf: Config, data, cap: int) -> bytes:
     with _maybe_on(dev), qz.screened(screen):
         x = data if isinstance(data, jax.Array) else jnp.asarray(
             np.ascontiguousarray(data).reshape(conf.dims))
-        bins_stream, hist, lits, nlit = jit_a(x)
-        if dtype == np.float64:  # compact the hi literal halves (see jit_a)
-            lits = (lits[0], jit_a_hi(bins_stream, lits[1]))
+        bins_stream, hist, lits, nlit = jit_a(x, gmap_dev)
 
     tree, total_bits, n_lit, tc_dev, tl_dev, c0_dev = _tree_and_tables(
         hist, nlit, cap_rows, conf.quantbinCnt, num)
@@ -319,6 +297,18 @@ def _static_blockwise(dims, nb, eb, quantbin_cnt):
         return ((bi * BS + x < dims[0]) & (bj * BS + y < dims[1])
                 & (bk * BS + z < dims[2]))
 
+    def slot_to_grid(t):
+        """Stream slot (block-major) -> flat index in the rounded grid."""
+        blk = t // E
+        e = t % E
+        bi = blk // (nb[1] * nb[2])
+        bj = (blk // nb[2]) % nb[1]
+        bk = blk % nb[2]
+        x = e // (BS * BS)
+        y = (e // BS) % BS
+        z = e % BS
+        return ((bi * BS + x) * NY + (bj * BS + y)) * NZ + (bk * BS + z)
+
     @jax.jit
     def jit_a(bins_skew, orig_skew, bins_reg_g):
         bins_g = unskew_device(bins_skew, NX, NY, NZ, lead=0, off=0) \
@@ -326,13 +316,14 @@ def _static_blockwise(dims, nb, eb, quantbin_cnt):
         orig_g = unskew_device(orig_skew, NX, NY, NZ, lead=0, off=0)
         v = valid_mask()
         bins_stream = jnp.where(v, to_stream(bins_g), jnp.int32(SENTINEL))
-        orig_stream = to_stream(orig_g)
         bins_stream = jnp.pad(bins_stream, (0, mp - total),
                               constant_values=SENTINEL)
-        orig_stream = jnp.pad(orig_stream, (0, mp - total))
         wlo = jnp.int32(quantbin_cnt // 2 - ed.W_HALF)
-        hist, lits, nlit = ed.hist_and_literals(bins_stream, orig_stream,
-                                                wlo, cap_rows)
+        hist, slots, nlit = ed.hist_and_literals(bins_stream, wlo, cap_rows)
+        # literal values: analytic slot->grid gather (no stream layout of
+        # the originals; pad slots clip to 0 and are never literals)
+        gi = slot_to_grid(jnp.clip(slots, 0, total - 1))
+        lits = orig_g.reshape(-1)[gi]
         return bins_stream, hist, lits, nlit
 
     out_sub = mp // 128 + 256
@@ -403,10 +394,10 @@ def _static_nopred(num, eb, quantbin_cnt, dtype_name):
         bins, _recon = quantize(x, jnp.zeros_like(x), eb, radius)
         pad = mp - num
         bins_stream = jnp.pad(bins, (0, pad), constant_values=SENTINEL)
-        orig_stream = jnp.pad(x, (0, pad))
         wlo = jnp.int32(radius - ed.W_HALF)
-        hist, lits, nlit = ed.hist_and_literals(bins_stream, orig_stream, wlo,
-                                                cap_rows)
+        hist, slots, nlit = ed.hist_and_literals(bins_stream, wlo, cap_rows)
+        # NOPRED stream order IS element order: values gather directly
+        lits = x[jnp.clip(slots, 0, num - 1)]
         return bins_stream, hist, lits, nlit
 
     out_sub = mp // 128 + 256

@@ -119,7 +119,7 @@ def _sym_index(bins, wlo):
 # ---- jit A: histogram + literal extraction --------------------------------------
 
 
-def _hist_kernel(wlo_ref, bins_tile_ref, orig_tile_ref,
+def _hist_kernel(wlo_ref, bins_tile_ref,
                  hist_ref, lits_ref, nlit_ref, acc_ref, ptr_ref):
     ci = pl.program_id(0)
 
@@ -149,11 +149,12 @@ def _hist_kernel(wlo_ref, bins_tile_ref, orig_tile_ref,
                             preferred_element_type=jnp.int32)
     acc_ref[:] = acc_ref[:] + m
 
-    # literal extraction: original values at bin==0 slots, in stream order.
-    # Per row: compact the (rare) zero-slots to the front with a one-hot
-    # matmul (exact: one 0/1 contribution per output lane), then place the
-    # compacted run at the running literal offset (lane-rotate + two masked
-    # sublane RMWs). Rows without zeros cost one reduction.
+    # literal extraction: STREAM SLOT INDICES of bin==0 slots, in stream
+    # order (values gather through a static slot->source map outside the
+    # kernel — the source stream never needs laying out, which removed a
+    # full 67 MB relayout at 256^3). Per row: compact the (rare) zero-slots
+    # to the front, then place the compacted run at the running literal
+    # offset (lane-rotate + two masked sublane RMWs).
     cap_rows = lits_ref.shape[0]
     lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     chunk_zeros = jnp.sum((bins_tile_ref[:] == jnp.int32(0)).astype(jnp.int32),
@@ -174,7 +175,7 @@ def _hist_kernel(wlo_ref, bins_tile_ref, orig_tile_ref,
 
         @pl.when(z > 0)
         def _():
-            ov = orig_tile_ref[r:r + 1, :]
+            ov = ci * jnp.int32(CHUNK) + jnp.int32(r * LANES) + lane_v
             # inclusive lane prefix-sum (Mosaic has no cumsum): log-shift adds
             t = mask.astype(jnp.int32)
             for sh in (1, 2, 4, 8, 16, 32, 64):
@@ -219,32 +220,31 @@ def _hist_kernel(wlo_ref, bins_tile_ref, orig_tile_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cap_rows",))
-def hist_and_literals(bins_padded, orig_padded, wlo, cap_rows: int):
-    """bins_padded/orig_padded: (Mp,) stream order (Mp % CHUNK == 0).
-    Returns (hist (128,128) i32 indexed [hi, lo], literals (cap_rows,128),
-    literal count)."""
+def hist_and_literals(bins_padded, wlo, cap_rows: int):
+    """bins_padded: (Mp,) stream order (Mp % CHUNK == 0).
+    Returns (hist (128,128) i32 indexed [hi, lo], literal slot indices
+    (cap_rows,128) i32 — the stream positions of the bin==0 slots, in
+    stream order — and the literal count). Values resolve outside via a
+    static slot->source gather."""
     mp = bins_padded.shape[0]
     nc = mp // CHUNK
     bins_tile = bins_padded.reshape(nc * ROW_ELEMS, LANES)
-    orig_tile = orig_padded.reshape(nc * ROW_ELEMS, LANES)
     # x64 must be off while tracing pallas calls: under x64 the grid machinery
     # emits int64 ops that Mosaic cannot legalize ('func.return')
     with jax.enable_x64(False):
-        hist, lits, nlit = _hist_call(bins_tile, orig_tile, wlo, cap_rows, nc)
+        hist, lits, nlit = _hist_call(bins_tile, wlo, cap_rows, nc)
     return hist, lits, nlit
 
 
-def _hist_call(bins_tile, orig_tile, wlo, cap_rows, nc):
-    orig_padded = orig_tile
+def _hist_call(bins_tile, wlo, cap_rows, nc):
     hist, lits, nlit = pl.pallas_call(
         _hist_kernel,
         out_shape=(jax.ShapeDtypeStruct((128, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((cap_rows, LANES), orig_tile.dtype),
+                   jax.ShapeDtypeStruct((cap_rows, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((1,), jnp.int32)),
         grid=(nc,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROW_ELEMS, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -257,7 +257,7 @@ def _hist_call(bins_tile, orig_tile, wlo, cap_rows, nc):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(jnp.asarray(wlo, jnp.int32).reshape(1), bins_tile, orig_tile)
+    )(jnp.asarray(wlo, jnp.int32).reshape(1), bins_tile)
     return hist, lits, nlit
 
 

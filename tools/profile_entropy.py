@@ -78,7 +78,7 @@ def main():
         tuple(dims), int(conf.interpAlgo), conf.interpDirection,
         conf.interpAnchorStride, conf.interpAlpha, conf.interpBeta,
         conf.absErrorBound, conf.quantbinCnt, "float32")
-    jit_a, jit_b, nc, mp, cap_rows, _jit_a_hi = jits
+    jit_a, jit_b, nc, mp, cap_rows, gmap_dev = jits
     log(f"field {dims} {nbytes/1e6:.1f} MB  nc={nc} chunks  mp={mp}")
 
     @jax.jit
@@ -109,7 +109,7 @@ def main():
 
     @jax.jit
     def s3(x):
-        bins_stream, hist, lits, nlit = jit_a(x)
+        bins_stream, hist, lits, nlit = jit_a(x, gmap_dev)
         return (jnp.sum(hist, dtype=jnp.int32) + nlit[0]
                 + jnp.sum(bins_stream[:128], dtype=jnp.int32))
 
@@ -136,7 +136,7 @@ def main():
     t3 = clock("S3 + hist/literals (jitA)", s3, xd)
 
     # ---- host tree + tables (reuse orchestration innards) ----
-    bins_stream, hist, lits, nlit = jit_a(xd)
+    bins_stream, hist, lits, nlit = jit_a(xd, gmap_dev)
     hist_np = np.asarray(hist).ravel()
     wlo = conf.quantbinCnt // 2 - ed.W_HALF
     counts = {}
