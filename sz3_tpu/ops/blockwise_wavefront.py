@@ -338,17 +338,18 @@ def prepare_wavefront(dims, eb: float, radius: int, use_l1: bool,
     bins_g = _blocks_to_grid(bins_b, nb, np.int32)
     lit_g = _blocks_to_grid(lit_b, nb, np.float32)
 
-    # ---- skew (strided host copies) + the device scan
+    # ---- skew ON DEVICE (the host strided-view writes into the ~3x slabs
+    # cost seconds at 256^3 and tripled H2D; only the compact grids upload)
     NX, NY, NZ = G_init.shape
     TOT = LEAD + NX + NY + NZ - 2
-    S0 = np.zeros((TOT, NY + 2, NZ + 2), np.float32)
-    _skew_view(S0[LEAD:, 2:, 2:], NX, NY, NZ)[:] = G_init
-    bins_s = np.zeros((TOT - LEAD, NY, NZ), np.int32)
-    _skew_view(bins_s, NX, NY, NZ)[:] = bins_g
-    lit_s = np.zeros((TOT - LEAD, NY, NZ), np.float32)
-    _skew_view(lit_s, NX, NY, NZ)[:] = lit_g
-    type_s = np.full((TOT - LEAD, NY, NZ), T_KEEP, np.uint8)
-    _skew_view(type_s, NX, NY, NZ)[:] = type_g
+    S0 = jit_skew((NX, NY, NZ), TOT, LEAD, 2, "float32", 0.0)(
+        jnp.asarray(G_init))
+    bins_s = jit_skew((NX, NY, NZ), TOT - LEAD, 0, 0, "int32", 0)(
+        jnp.asarray(bins_g))
+    lit_s = jit_skew((NX, NY, NZ), TOT - LEAD, 0, 0, "float32", 0.0)(
+        jnp.asarray(lit_g))
+    type_s = jit_skew((NX, NY, NZ), TOT - LEAD, 0, 0, "uint8", T_KEEP)(
+        jnp.asarray(type_g))
 
     run = _jit_wavefront((NX, NY, NZ), float(eb), int(radius))
 
@@ -369,12 +370,12 @@ def decode_blocks_wavefront(dims, eb: float, radius: int, use_l1: bool,
     element sweep as an anti-diagonal wavefront on device."""
     from .interp_fast import _maybe_on, exec_device
 
-    run, S0, bins_s, lit_s, type_s, unskew = prepare_wavefront(
-        dims, eb, radius, use_l1, use_l2, use_reg, bins_stream, selection,
-        reg_bins, ql_unpred, qi_unpred, unpred)
     nb = tuple(-(-int(d) // BS) for d in dims)
     gdims = tuple(n * BS for n in nb)
     with _maybe_on(exec_device()):
+        run, S0, bins_s, lit_s, type_s, unskew = prepare_wavefront(
+            dims, eb, radius, use_l1, use_l2, use_reg, bins_stream, selection,
+            reg_bins, ql_unpred, qi_unpred, unpred)
         S = run(jnp.asarray(S0), jnp.asarray(bins_s), jnp.asarray(lit_s),
                 jnp.asarray(type_s))
         # unskew on device and read back only the field (S is ~3x it)
@@ -386,3 +387,19 @@ def decode_blocks_wavefront(dims, eb: float, radius: int, use_l1: bool,
 def _jit_unskew(gdims: Tuple[int, int, int]):
     NX, NY, NZ = gdims
     return jax.jit(lambda S: unskew_device(S, NX, NY, NZ))
+
+
+@lru_cache(maxsize=16)
+def jit_skew(gdims: Tuple[int, int, int], tot: int, lead: int, off: int,
+             dtype_name: str, fill):
+    """Jitted on-device skew (cached per geometry): unskewed grid -> slab.
+    The host strided-view writes into the ~3x slabs cost seconds per call
+    at 256^3 and tripled the H2D bytes; shears on the chip are ~ms."""
+    dt = np.dtype(dtype_name)
+
+    @jax.jit
+    def run(G):
+        return skew_device(G.astype(dt), tot, lead=lead, off=off,
+                           fill=dt.type(fill))
+
+    return run

@@ -62,6 +62,28 @@ E = BS ** 3
 DBL_MAX = float(np.finfo(np.float64).max)
 MAX_PASSES = 3
 
+from .blockwise_wavefront import jit_skew as _jit_skew  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def _jit_blocksT(gdims: Tuple[int, int, int], nb: Tuple[int, int, int]):
+    """Jitted (NX,NY,NZ) grid -> (E, NBLK) block-transposed layout for the
+    regression fits (device-side _grid_to_blocks + transpose)."""
+    NX, NY, NZ = gdims
+
+    @jax.jit
+    def run(G):
+        b = G.reshape(nb[0], BS, nb[1], BS, nb[2], BS)
+        b = jnp.transpose(b, (0, 2, 4, 1, 3, 5)).reshape(-1, BS ** 3)
+        return jnp.transpose(b, (1, 0))
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _jit_frontpad(gdims: Tuple[int, int, int]):
+    return jax.jit(lambda G: jnp.pad(G, ((2, 0), (2, 0), (2, 0))))
+
 
 class Fallback(Exception):
     """Raised when the speculative schedule cannot certify byte parity
@@ -335,11 +357,10 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
     masks = _element_masks(dims, nb)
 
     # rounded-up original grid (zeros beyond dims — never read by valid
-    # cells: Lorenzo offsets are strictly negative) + front-padded variant
+    # cells: Lorenzo offsets are strictly negative); the front-padded
+    # selection variant derives on-device (_jit_frontpad)
     G = np.zeros((NX, NY, NZ), np.float32)
     G[:dims[0], :dims[1], :dims[2]] = data
-    Gp = np.zeros((NX + 2, NY + 2, NZ + 2), np.float32)
-    Gp[2:, 2:, 2:] = G
     orig_b = _grid_to_blocks(G, nb)
 
     # per-block extents + m
@@ -357,17 +378,22 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
 
     dev = exec_device()
     with _maybe_on(dev):
+        # the rounded grid uploads ONCE; the fits' block-transposed layout
+        # and the front-padded selection grid derive on-device (the tunnel
+        # link is latency-bound, round-5 trace: the encode wall was ~4 s of
+        # transfer for ~215 ms of device compute)
+        G_dev = jnp.asarray(G)
         # ---- pass A: fits
         if use_reg:
             coefs_raw = np.asarray(_fits(
-                jnp.asarray(np.ascontiguousarray(orig_b.T)),
+                _jit_blocksT((NX, NY, NZ), tuple(nb))(G_dev),
                 jnp.asarray(ex_g.reshape(3, -1))))  # (4, NBLK)
         else:
             coefs_raw = np.zeros((4, nblk), np.float32)
         coefs_g = coefs_raw.reshape(4, *nb)
 
         # ---- pass B: speculative selection (pads = original values)
-        orig_p_dev = jnp.asarray(Gp)
+        orig_p_dev = _jit_frontpad((NX, NY, NZ))(G_dev)
         ex_dev = jnp.asarray(ex_g)
         m_dev = jnp.asarray(m_g)
         if single:
@@ -379,9 +405,11 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
 
         run = _jit_wavefront_enc((NX, NY, NZ), eb, radius)
         TOT = LEAD + NX + NY + NZ - 2
-        orig_s = np.zeros((TOT - LEAD, NY, NZ), np.float32)
-        _skew_view(orig_s, NX, NY, NZ)[:] = G
-        orig_s_dev = jnp.asarray(orig_s)
+        # skew ON DEVICE: the numpy strided-view writes into the ~3x slabs
+        # cost seconds per pass at 256^3 (round-5 wall autopsy of the 18.8 s
+        # end-to-end encode); shear-reshapes on the chip are ~ms
+        orig_s_dev = _jit_skew((NX, NY, NZ), TOT - LEAD, 0, 0, "float32",
+                               0.0)(G_dev)
         certified = single  # single-predictor rosters are not speculative
         for _ in range(MAX_PASSES):
             is_reg_f = is_reg.reshape(-1)
@@ -410,12 +438,13 @@ def encode_blocks_wavefront(data: np.ndarray, eb: float, radius: int,
             type_b[~masks] = T_KEEP
             type_g = _blocks_to_grid(type_b, nb, np.uint8)
 
-            # ---- skew + scan
-            S0 = np.zeros((TOT, NY + 2, NZ + 2), np.float32)
-            _skew_view(S0[LEAD:, 2:, 2:], NX, NY, NZ)[:] = G_init
-            type_s = np.full((TOT - LEAD, NY, NZ), T_KEEP, np.uint8)
-            _skew_view(type_s, NX, NY, NZ)[:] = type_g
-            S, bins_s = run(jnp.asarray(S0), orig_s_dev, jnp.asarray(type_s))
+            # ---- skew + scan (shears on-device; only the compact 67 MB
+            # unskewed grids cross H2D)
+            S0_dev = _jit_skew((NX, NY, NZ), TOT, LEAD, 2, "float32",
+                               0.0)(jnp.asarray(G_init))
+            type_s_dev = _jit_skew((NX, NY, NZ), TOT - LEAD, 0, 0, "uint8",
+                                   T_KEEP)(jnp.asarray(type_g))
+            S, bins_s = run(S0_dev, orig_s_dev, type_s_dev)
 
             if certified:
                 break

@@ -78,9 +78,11 @@ BWIN = GROUPS * 128                 # windows per batch (1024)
 L1_BITS = 11
 L1_ROWS = (1 << L1_BITS) // 128        # 16
 ESC = 63                            # len-field marker for escape entries
-EYT_LEVELS = 13                     # binary-search depth: <= 8191 deep codes
-DEEP_CAP = 1 << EYT_LEVELS          # padded deep-code capacity
-DEEP_ROWS = DEEP_CAP // 128         # 64
+MAX_EYT_LEVELS = 13                 # binary-search depth cap: <= 8191 deep
+                                    # codes (actual depth adapts to the
+                                    # stream's deep-code count — the pivot +
+                                    # symbol chains are the kernel's dominant
+                                    # per-step cost, round-5 profile)
 MAXLEN = 32                         # encoder format gate; full coverage
 
 CAP_CLASSES = (384, 512, 640, 1152)  # scan steps (multiples of 128)
@@ -102,14 +104,15 @@ class DecodeFallback(Exception):
 def build_decode_tables(codes: np.ndarray, lens: np.ndarray, offset: int):
     """Exported (code,len) table -> device lookup structures.
 
-    Returns (l1, eyt, deep, cap):
-      l1   (32,128) i32: 12-bit direct table; resolved = (sym<<6)|len,
+    Returns (l1, eyt, deep, cap, eyt_levels):
+      l1   (16,128) i32: 11-bit direct table; resolved = (sym<<6)|len,
            escape = ESC in the len field
-      eyt  (32,128) i32: Eytzinger pivot tree over the sorted LEFT-ALIGNED
-           deep (len>12) codewords, in the signed-compare domain
+      eyt  i32: Eytzinger pivot tree over the sorted LEFT-ALIGNED deep
+           (len>11) codewords, in the signed-compare domain
            (x ^ 0x80000000); slot t of the 1-indexed heap at [t>>7, t&127]
-      deep (32,128) i32: (sym<<6)|len by sorted-codeword rank
+      deep i32: (sym<<6)|len by sorted-codeword rank
       cap: scan step class from the shortest code length
+      eyt_levels: search depth (adaptive: ceil(log2(ndeep+1)))
     """
     present = np.nonzero(lens > 0)[0]
     L = lens[present].astype(np.int64)
@@ -131,8 +134,14 @@ def build_decode_tables(codes: np.ndarray, lens: np.ndarray, offset: int):
         l1[lo:lo + (1 << (L1_BITS - ln))] = (sy << 6) | ln
     deepm = ~short
     ndeep = int(deepm.sum())
-    if ndeep >= DEEP_CAP:
-        raise DecodeFallback(f"{ndeep} deep codes exceed {DEEP_CAP - 1}")
+    if ndeep >= (1 << MAX_EYT_LEVELS):
+        raise DecodeFallback(
+            f"{ndeep} deep codes exceed {(1 << MAX_EYT_LEVELS) - 1}")
+    # adaptive search depth: the pivot chain above level 7 and the rank ->
+    # symbol chain both scale with 2^levels — size them to the real tree
+    eyt_levels = max(1, int(np.ceil(np.log2(ndeep + 2))))
+    DEEP_CAP = 1 << eyt_levels
+    DEEP_ROWS = max(1, DEEP_CAP // 128)
     # escape markers for every deep 12-bit prefix
     for p in np.unique(C[deepm] >> (L[deepm] - L1_BITS)):
         l1[int(p)] = ESC
@@ -173,22 +182,24 @@ def build_decode_tables(codes: np.ndarray, lens: np.ndarray, offset: int):
     sys.setrecursionlimit(10000)
     build(1, 0, DEEP_CAP - 1)
     sys.setrecursionlimit(rec)
+    # tables under one vreg row still ship as (1,128)
+    pad128 = max(0, 128 - DEEP_CAP)
     return (jnp.asarray(l1.reshape(L1_ROWS, 128)),
-            jnp.asarray(eyt.reshape(DEEP_ROWS, 128)),
-            jnp.asarray(deep.reshape(DEEP_ROWS, 128)), cap)
+            jnp.asarray(np.pad(eyt, (0, pad128)).reshape(DEEP_ROWS, 128)),
+            jnp.asarray(np.pad(deep, (0, pad128)).reshape(DEEP_ROWS, 128)),
+            cap, eyt_levels)
 
 
-def _eyt_rank_np(eyt_flat: np.ndarray, w_signed: int) -> int:
+def _eyt_rank_np(eyt_flat: np.ndarray, w_signed: int, eyt_levels: int) -> int:
     """Numpy reference of the kernel's search: predecessor count of w among
     the pivots (exclusive upper rank)."""
     t = 1
-    r = 0
-    for _ in range(EYT_LEVELS):
+    for _ in range(eyt_levels):
         ge = 1 if w_signed >= eyt_flat[t] else 0
         t = 2 * t + ge
     # standard Eytzinger: subtracting the leaf base after recording the path
     # of >= decisions yields the insertion point
-    return t - DEEP_CAP
+    return t - (1 << eyt_levels)
 
 
 # ---- kernel helpers ------------------------------------------------------------
@@ -264,10 +275,15 @@ def _eyt_lookup(t, eyt_ref, k):
     return acc
 
 
+SCAN_UNROLL = 8   # symbol steps folded into one grid step: grid-step
+                  # dispatch and the state-ref round-trips amortize 8x
+                  # (34.5k steps at ~11 us/step dominated pass 1, round 5)
+
+
 def _scan_kernel(entries_ref, ends_ref, words_ref, l1_ref, eyt_ref, deep_ref,
                  syms_ref, entry_out_ref, exit_ref, nskip_ref, nout_ref,
                  reg, hi_s, lo_s, nbits_s, pos_s, done_s, entry_s, exit_s,
-                 skip_s, nout_s):
+                 skip_s, nout_s, *, eyt_levels: int):
     i32 = jnp.int32
     t = pl.program_id(1)
 
@@ -309,78 +325,99 @@ def _scan_kernel(entries_ref, ends_ref, words_ref, l1_ref, eyt_ref, deep_ref,
         _pop_bands(reg, ones)
         _pop_bands(reg, ones)
 
-    active = done_s[:] == 0
+    # load the per-window state ONCE per grid step; SCAN_UNROLL symbol steps
+    # run on values; state stores once at the end
     hi = hi_s[:]
-    w32 = hi
-    # short codes: direct 12-bit table
-    idx1 = _shr32(w32, i32(32 - L1_BITS))
-    e1 = _chain(idx1, l1_ref)
-    ln = e1 & i32(63)
-    sym = e1 >> i32(6)
-    esc = ln == i32(ESC)
-    # deep codes: predecessor rank of the 32-bit window among the sorted
-    # left-aligned deep codewords (signed-compare domain)
-    wu = w32 ^ i32(-0x80000000)
-    tt = jnp.ones_like(w32)
-    for k in range(EYT_LEVELS):
-        piv = _eyt_lookup(tt, eyt_ref, k)
-        tt = tt * i32(2) + (wu >= piv).astype(i32)
-    rank = tt - i32(DEEP_CAP)                 # insertion point among pivots
-    de = _chain(jnp.maximum(rank - i32(1), i32(0)), deep_ref)
-    sym = jnp.where(esc, de >> i32(6), sym)
-    ln = jnp.where(esc, de & i32(63), ln)
-
-    # emit (garbage rows for inactive lanes; skip/nout delimit validity)
-    syms_ref[:] = sym
-
-    pos = pos_s[:]
-    newpos = pos + ln
-    ends = ends_ref[:]
-    # runway symbols: start before RUN_BITS
-    pre = active & (pos < i32(RUN_BITS))
-    skip_s[:] = skip_s[:] + pre.astype(i32)
-    # entry = first boundary >= RUN_BITS: either the end of the symbol that
-    # crosses it, or the start of a symbol sitting exactly on/after it
-    first_in = active & pre & (newpos >= i32(RUN_BITS)) & (entry_s[:] < 0)
-    start_on = active & jnp.logical_not(pre) & (entry_s[:] < 0)
-    entry_s[:] = jnp.where(first_in, newpos,
-                           jnp.where(start_on, pos, entry_s[:]))
-    crossed = active & (newpos >= ends)
-    exit_s[:] = jnp.where(crossed, newpos, exit_s[:])
-    done_s[:] = jnp.where(crossed, i32(1), done_s[:])
-    nout_s[:] = nout_s[:] + (active & jnp.logical_not(pre)).astype(i32)
-    pos_s[:] = jnp.where(active, newpos, pos)
-
-    # consume ln bits, refill one word when below 33 valid bits
     lo = lo_s[:]
-    lne = jnp.where(active, ln, i32(0))
-    hi = jnp.where(lne == 0, hi, _shl32(hi, lne) | _shr32(lo, i32(32) - lne))
-    lo = _shl32(lo, lne)
-    nbits = nbits_s[:] - lne
-    need = active & (nbits <= i32(32))
-    w = _next_words(reg)
-    hi = jnp.where(need & (nbits < i32(32)), hi | _shr32(w, nbits), hi)
-    lo = jnp.where(need,
-                   jnp.where(nbits == i32(32), lo | w,
-                             lo | _shl32(w, i32(32) - nbits)), lo)
-    _pop_bands(reg, need)
-    nbits_s[:] = nbits + jnp.where(need, i32(32), i32(0))
+    nbits = nbits_s[:]
+    pos = pos_s[:]
+    done = done_s[:]
+    entry = entry_s[:]
+    exit_v = exit_s[:]
+    skip = skip_s[:]
+    nout = nout_s[:]
+    ends = ends_ref[:]
+
+    for u in range(SCAN_UNROLL):
+        active = done == 0
+        w32 = hi
+        # short codes: direct 11-bit table
+        idx1 = _shr32(w32, i32(32 - L1_BITS))
+        e1 = _chain(idx1, l1_ref)
+        ln = e1 & i32(63)
+        sym = e1 >> i32(6)
+        esc = ln == i32(ESC)
+        # deep codes: predecessor rank of the 32-bit window among the sorted
+        # left-aligned deep codewords (signed-compare domain)
+        wu = w32 ^ i32(-0x80000000)
+        tt = jnp.ones_like(w32)
+        for k in range(eyt_levels):
+            piv = _eyt_lookup(tt, eyt_ref, k)
+            tt = tt * i32(2) + (wu >= piv).astype(i32)
+        rank = tt - i32(1 << eyt_levels)      # insertion point among pivots
+        de = _chain(jnp.maximum(rank - i32(1), i32(0)), deep_ref)
+        sym = jnp.where(esc, de >> i32(6), sym)
+        ln = jnp.where(esc, de & i32(63), ln)
+
+        # emit (garbage rows for inactive lanes; skip/nout delimit validity)
+        syms_ref[u * GROUPS:(u + 1) * GROUPS, :] = sym
+
+        newpos = pos + ln
+        # runway symbols: start before RUN_BITS
+        pre = active & (pos < i32(RUN_BITS))
+        skip = skip + pre.astype(i32)
+        # entry = first boundary >= RUN_BITS: either the end of the symbol
+        # that crosses it, or the start of a symbol sitting exactly on/after
+        first_in = active & pre & (newpos >= i32(RUN_BITS)) & (entry < 0)
+        start_on = active & jnp.logical_not(pre) & (entry < 0)
+        entry = jnp.where(first_in, newpos,
+                          jnp.where(start_on, pos, entry))
+        crossed = active & (newpos >= ends)
+        exit_v = jnp.where(crossed, newpos, exit_v)
+        done = jnp.where(crossed, i32(1), done)
+        nout = nout + (active & jnp.logical_not(pre)).astype(i32)
+        pos = jnp.where(active, newpos, pos)
+
+        # consume ln bits, refill one word when below 33 valid bits
+        lne = jnp.where(active, ln, i32(0))
+        hi = jnp.where(lne == 0, hi,
+                       _shl32(hi, lne) | _shr32(lo, i32(32) - lne))
+        lo = _shl32(lo, lne)
+        nbits = nbits - lne
+        need = active & (nbits <= i32(32))
+        w = _next_words(reg)
+        hi = jnp.where(need & (nbits < i32(32)), hi | _shr32(w, nbits), hi)
+        lo = jnp.where(need,
+                       jnp.where(nbits == i32(32), lo | w,
+                                 lo | _shl32(w, i32(32) - nbits)), lo)
+        _pop_bands(reg, need)
+        nbits = nbits + jnp.where(need, i32(32), i32(0))
+
     hi_s[:] = hi
     lo_s[:] = lo
+    nbits_s[:] = nbits
+    pos_s[:] = pos
+    done_s[:] = done
+    entry_s[:] = entry
+    exit_s[:] = exit_v
+    skip_s[:] = skip
+    nout_s[:] = nout
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        entry_out_ref[:] = entry_s[:]
-        exit_ref[:] = exit_s[:]
-        nskip_ref[:] = skip_s[:]
-        nout_ref[:] = nout_s[:]
+        entry_out_ref[:] = entry
+        exit_ref[:] = exit_v
+        nskip_ref[:] = skip
+        nout_ref[:] = nout
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "cap"))
-def _scan(words, entries, ends, l1, eyt, deep, nb: int, cap: int):
+@functools.partial(jax.jit, static_argnames=("nb", "cap", "eyt_levels"))
+def _scan(words, entries, ends, l1, eyt, deep, nb: int, cap: int,
+          eyt_levels: int):
+    deep_rows = deep.shape[0]
     with jax.enable_x64(False):
         return pl.pallas_call(
-            _scan_kernel,
+            functools.partial(_scan_kernel, eyt_levels=eyt_levels),
             out_shape=(
                 jax.ShapeDtypeStruct((nb * cap * GROUPS, 128), jnp.int32),
                 jax.ShapeDtypeStruct((nb * GROUPS, 128), jnp.int32),
@@ -388,7 +425,7 @@ def _scan(words, entries, ends, l1, eyt, deep, nb: int, cap: int):
                 jax.ShapeDtypeStruct((nb * GROUPS, 128), jnp.int32),
                 jax.ShapeDtypeStruct((nb * GROUPS, 128), jnp.int32),
             ),
-            grid=(nb, cap),
+            grid=(nb, cap // SCAN_UNROLL),
             in_specs=[
                 pl.BlockSpec((GROUPS, 128), lambda b, t: (b, 0),
                              memory_space=pltpu.VMEM),
@@ -398,14 +435,15 @@ def _scan(words, entries, ends, l1, eyt, deep, nb: int, cap: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((L1_ROWS, 128), lambda b, t: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((DEEP_ROWS, 128), lambda b, t: (0, 0),
+                pl.BlockSpec((deep_rows, 128), lambda b, t: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((DEEP_ROWS, 128), lambda b, t: (0, 0),
+                pl.BlockSpec((deep_rows, 128), lambda b, t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((GROUPS, 128),
-                             lambda b, t, cap=cap: (b * cap + t, 0),
+                pl.BlockSpec((SCAN_UNROLL * GROUPS, 128),
+                             lambda b, t, capu=cap // SCAN_UNROLL:
+                             (b * capu + t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((GROUPS, 128), lambda b, t: (b, 0),
                              memory_space=pltpu.VMEM),
@@ -564,16 +602,6 @@ def _window_tiles(words, nwin: int, nb: int):
     return t.reshape(nb * GROUPS * TILE_W, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "cap"))
-def _merge_rows(kept, fresh, mask, nb: int, cap: int):
-    """Device-side straggler merge: rows of re-decoded windows replace the
-    kept ones. mask: (nb*GROUPS,128) nonzero where re-decoded."""
-    k4 = kept.reshape(nb, cap, GROUPS, 128)
-    f4 = fresh.reshape(nb, cap, GROUPS, 128)
-    m4 = (mask.reshape(nb, 1, GROUPS, 128) != 0)
-    return jnp.where(m4, f4, k4).reshape(nb * cap * GROUPS, 128)
-
-
 @functools.partial(jax.jit, static_argnames=("nb", "cap", "capr"))
 def _to_window_major(syms, nb: int, cap: int, capr: int):
     s = syms.reshape(nb, cap, GROUPS, 128)
@@ -656,14 +684,46 @@ def _host_repair(bits: bytes, total_bits: int, codes, lens, offset: int,
     raise DecodeFallback("host straggler repair failed to converge")
 
 
+@functools.partial(jax.jit, static_argnames=("capr1", "caprF"))
+def _pad_capr(symsT, capr1: int, caprF: int):
+    """Window-major symbol rows (nwinp*capr1,128) -> (nwinp*caprF,128)."""
+    n = symsT.shape[0] // capr1
+    s = symsT.reshape(n, capr1, 128)
+    return jnp.pad(s, ((0, 0), (0, caprF - capr1), (0, 0))).reshape(-1, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("nb2",))
+def _gather_tiles(words, im, nb2: int):
+    """Compact window tiles for a rescan set: im (nbad_p, TILE_W) word
+    indices (negative = before stream start -> zero)."""
+    nw = words.shape[0]
+    wd = jnp.where(im >= 0, words[jnp.clip(im, 0, nw - 1)], jnp.int32(0))
+    t = wd.reshape(nb2, GROUPS, 128, TILE_W)
+    t = jnp.transpose(t, (0, 1, 3, 2))
+    return t.reshape(nb2 * GROUPS * TILE_W, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("caprF",))
+def _scatter_rows(symsT, src, rows, caprF: int):
+    return symsT.at[rows].set(src)
+
+
 def decode_stream(bits: bytes, count: int, codes, lens, offset: int,
                   max_passes: int = 12):
     """Huffman stream bytes -> dense archive-order bins: a device array
     (rows,128) i32 whose first `count` row-major elements are the decoded
     symbols. Raises DecodeFallback outside the device profile or when the
-    speculative chain cannot stabilize."""
-    l1, eyt, deep, cap = build_decode_tables(codes, lens, offset)
-    capr = cap // 128
+    speculative chain cannot stabilize.
+
+    Pass structure (round 5): pass 1 scans ALL windows at a cap sized to the
+    stream's AVERAGE code length (x1.3 headroom); windows that mis-speculate
+    OR overflow that cap (exit still -1) join the redo set. Later passes
+    rescan ONLY the redo set — their tiles gather into a compact batch — at
+    the worst-case cap, so a 17% pass-1 failure rate costs 17% of a pass,
+    not another full pass. Tiny residues repair on the host."""
+    l1, eyt, deep, cap_full, eyt_levels = build_decode_tables(
+        codes, lens, offset)
+    caprF = cap_full // 128
     nbytes = len(bits)
     total_bits = nbytes * 8
     nwin = max(1, -(-total_bits // W_BITS))
@@ -671,6 +731,12 @@ def decode_stream(bits: bytes, count: int, codes, lens, offset: int,
         raise DecodeFallback("stream too small for the window kernel")
     nb = -(-nwin // BWIN)
     nwinp = nb * BWIN
+
+    avg = max(1.0, total_bits / max(count, 1))
+    need1 = int((RUN_BITS + W_BITS) / avg * 1.3) + 16
+    cap1 = next((c for c in CAP_CLASSES if c >= need1), cap_full)
+    cap1 = min(cap1, cap_full)
+    capr1 = cap1 // 128
 
     pad = (-nbytes) % 4
     words_np = np.frombuffer(bits + b"\x00" * pad, dtype=">u4").astype(np.uint32)
@@ -689,67 +755,84 @@ def decode_stream(bits: bytes, count: int, codes, lens, offset: int,
     ends = ends.astype(np.int32)
     ends_dev = jnp.asarray(ends.reshape(nb * GROUPS, 128))
 
-    syms = None
     final = {}
-    redo_mask = None
     patches: dict = {}
     last_stats.clear()
-    last_stats.update(nwin=nwin, passes=0, pass_walls=[], redo_counts=[])
-    for pass_i in range(max_passes):
-        _t0 = _time.perf_counter()
-        e_dev = jnp.asarray(entries.reshape(nb * GROUPS, 128))
-        s, entry, exit_, nskip, nout = _scan(tiles, e_dev, ends_dev,
-                                             l1, eyt, deep, nb, cap)
-        entry_np = np.asarray(entry).ravel()[:nwin].astype(np.int64)
-        exit_np = np.asarray(exit_).ravel()[:nwin].astype(np.int64)
-        nskip_np = np.asarray(nskip).ravel()[:nwin]
-        nout_np = np.asarray(nout).ravel()[:nwin]
-        if pass_i == 0:
-            syms = s
-            final["entry"] = entry_np.copy()
-            final["exit"] = exit_np.copy()
-            final["nskip"] = nskip_np.copy()
-            final["nout"] = nout_np.copy()
-        else:
-            idx = np.nonzero(redo_mask)[0]
-            for key, arr in (("entry", entry_np), ("exit", exit_np),
-                             ("nskip", nskip_np), ("nout", nout_np)):
-                final[key][idx] = arr[idx]
-            mask = np.zeros(nwinp, np.int32)
-            mask[idx] = 1
-            syms = _merge_rows(syms, s, jnp.asarray(
-                mask.reshape(nb * GROUPS, 128)), nb, cap)
+    last_stats.update(nwin=nwin, passes=0, pass_walls=[], redo_counts=[],
+                      cap1=cap1, cap_full=cap_full, eyt_levels=eyt_levels)
 
-        # chain validation: window i+1's entry must equal window i's exit
+    # ---- pass 1: all windows, average-sized cap
+    _t0 = _time.perf_counter()
+    e_dev = jnp.asarray(entries.reshape(nb * GROUPS, 128))
+    s, entry, exit_, nskip, nout = _scan(tiles, e_dev, ends_dev,
+                                         l1, eyt, deep, nb, cap1, eyt_levels)
+    symsT = _to_window_major(s, nb, cap1, capr1)
+    if capr1 != caprF:
+        symsT = _pad_capr(symsT, capr1, caprF)
+    final["entry"] = np.asarray(entry).ravel()[:nwin].astype(np.int64)
+    final["exit"] = np.asarray(exit_).ravel()[:nwin].astype(np.int64)
+    final["nskip"] = np.asarray(nskip).ravel()[:nwin].copy()
+    final["nout"] = np.asarray(nout).ravel()[:nwin].copy()
+    last_stats["pass_walls"].append(round(_time.perf_counter() - _t0, 4))
+    last_stats["passes"] = 1
+
+    for pass_i in range(1, max_passes):
+        # chain validation: window i+1's entry must equal window i's exit;
+        # exit == -1 marks a cap-1 overflow (never crossed its end)
         exit_abs = wstarts + final["exit"] - RUN_BITS
         entry_abs = wstarts + final["entry"] - RUN_BITS
         want = np.empty(nwin, np.int64)
         want[0] = 0
         want[1:] = exit_abs[:-1]
-        bad = np.nonzero(want != entry_abs)[0]
-        last_stats["passes"] = pass_i + 1
-        last_stats["pass_walls"].append(round(_time.perf_counter() - _t0, 4))
+        bad = np.nonzero((want != entry_abs) | (final["exit"] < 0))[0]
         last_stats["redo_counts"].append(int(bad.size))
         if bad.size == 0:
             break
         if bad.size <= HOST_REDO_MAX:
-            # Straggler repair: a full device rescan of ALL windows costs
-            # ~0.2 s at 256^3, and after the first corrective pass the redo
-            # set collapses to a handful (measured [15955, 4, 3, ...] on the
-            # bench field). Decoding those few windows on the host — with the
-            # exact chain semantics — and patching the dense output with one
-            # scatter replaces up to max_passes-2 full rescans.
+            # Straggler repair: decoding a handful of windows on the host —
+            # with the exact chain semantics — and patching the dense output
+            # with one scatter beats another kernel launch.
             patches = _host_repair(bits, total_bits, codes, lens, offset,
                                    final, wstarts, nwin)
             last_stats["host_repaired"] = len(patches)
             break
-        redo_mask = np.zeros(nwin, bool)
-        redo_mask[bad] = True
+        _t0 = _time.perf_counter()
         rel = want[bad] - wstarts[bad] + RUN_BITS
         if (rel < 0).any() or (rel >= RUN_BITS + W_BITS + 32).any():
             raise DecodeFallback("speculative chain out of range")
-        entries = entries.copy()
-        entries[bad] = rel.astype(np.int32)
+        # ---- compact rescan of the redo set at the worst-case cap
+        nbad = bad.size
+        nb2 = -(-nbad // BWIN)
+        nbad_p = nb2 * BWIN
+        bad_p = np.zeros(nbad_p, np.int64)
+        bad_p[:nbad] = bad
+        im = (bad_p[:, None] * W_WORDS
+              + np.arange(-RUN_WORDS, W_WORDS + SPILL_WORDS)[None, :])
+        tiles2 = _gather_tiles(words, jnp.asarray(im.astype(np.int32)), nb2)
+        e2 = np.zeros(nbad_p, np.int32)
+        e2[:nbad] = rel.astype(np.int32)
+        ends2 = np.zeros(nbad_p, np.int32)   # pads: end 0 -> done at t==0
+        ends2[:nbad] = ends[bad]
+        s2, en2, ex2, ns2, no2 = _scan(
+            tiles2, jnp.asarray(e2.reshape(nb2 * GROUPS, 128)),
+            jnp.asarray(ends2.reshape(nb2 * GROUPS, 128)),
+            l1, eyt, deep, nb2, cap_full, eyt_levels)
+        final["entry"][bad] = np.asarray(en2).ravel()[:nbad].astype(np.int64)
+        final["exit"][bad] = np.asarray(ex2).ravel()[:nbad].astype(np.int64)
+        final["nskip"][bad] = np.asarray(ns2).ravel()[:nbad]
+        final["nout"][bad] = np.asarray(no2).ravel()[:nbad]
+        _t1 = _time.perf_counter()
+        last_stats.setdefault("rescan_walls", []).append(round(_t1 - _t0, 4))
+        symsT2 = _to_window_major(s2, nb2, cap_full, caprF)
+        rows = (bad_p[:nbad, None] * caprF
+                + np.arange(caprF)[None, :]).ravel()
+        symsT = _scatter_rows(symsT, symsT2[:nbad * caprF],
+                              jnp.asarray(rows.astype(np.int32)), caprF)
+        symsT.block_until_ready()
+        last_stats.setdefault("scatter_walls", []).append(
+            round(_time.perf_counter() - _t1, 4))
+        last_stats["passes"] = pass_i + 1
+        last_stats["pass_walls"].append(round(_time.perf_counter() - _t0, 4))
     else:
         raise DecodeFallback("speculative chain failed to stabilize")
 
@@ -763,7 +846,7 @@ def decode_stream(bits: bytes, count: int, codes, lens, offset: int,
             f"decoded symbol count {total} != archived count {count}")
     nout_np[-1] -= excess
 
-    symsT = _to_window_major(syms, nb, cap, capr)
+    capr = caprF
     offs = np.zeros(nwinp, np.int64)
     offs[:nwin] = np.concatenate([[0], np.cumsum(nout_np)[:-1]])
     offs[nwin:] = count

@@ -5,22 +5,24 @@ reference Huffman bitstream (HuffmanEncoder.hpp:135-218: MSB-first
 concatenation of per-symbol codes) without the bins ever leaving the device:
 
   jit A: windowed exact histogram (one-hot MXU matmul, two-level radix-128)
-         + unpredictable-literal extraction in stream order
+         + extraction of the STREAM SLOT INDICES of unpredictable points
+         (values gather outside through a static slot->source map — the
+         originals stream never needs laying out)
   host:  Huffman tree build (native engine, reference tie-breaking) -> code
          tables; total bit count derived exactly from hist x lens
   jit B: fused code lookup (vreg lane-gather chains; XLA gather is ~120ms/16M
          on TPU, this is ~2ms) + bit packing:
          kernel 1: per 8192-element chunk, pack 128 rows of 64 codes by a
-                   64-step vectorized scan, then concatenate the rows with a
-                   6-level binary merge tree, emitting 2 splice segments per
-                   chunk (rows pre-shuffled to bit-reversed lanes so
-                   half-pairing yields natural order; variable shifts
-                   decompose into static rolls + selects — no gathers, no
-                   scatters, no lane-dynamic addressing). The merge is
-                   size-classed: typical chunks (~5-6 bits/symbol) run the
-                   tree on a 16-word frame instead of the 66-word worst case
-                   (~4x less padding traffic), and segment writes are
-                   content-proportional granules.
+                   size-classed vectorized scan (16-row buffers for typical
+                   ~5-6 bits/symbol chunks, 72-row worst case), then
+                   concatenate the rows with a 4-level binary merge tree,
+                   emitting 8 splice segments per chunk (rows pre-shuffled
+                   to bit-reversed lanes so half-pairing yields natural
+                   order; variable shifts decompose into static rolls +
+                   selects — no gathers, no scatters, no lane-dynamic
+                   addressing). Segments store in the splice's natural
+                   (row, lane) word layout via one in-kernel transpose +
+                   content-proportional static row writes.
          kernel 2: batched splice: 128 segments per grid step are bit-shifted,
                    lane-rotated and OR-placed into a VMEM accumulator at
                    their exclusive prefix bit offsets (pure vector ops), then

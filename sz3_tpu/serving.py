@@ -105,8 +105,8 @@ def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
 
     b = stack.shape[0]
     if stack.dtype != np.float32:
-        # f64 literals ride a two-program compaction (device_encode.jit_a_hi)
-        # the pipeline doesn't schedule yet; per-field encode handles them
+        # f64 device encode needs a native-x64 backend; per-field encode
+        # handles (and gates) it
         raise de._fall("pipelined serving is f32-only")
     dims = tuple(base.dims)
     num = int(np.prod(dims))
@@ -118,7 +118,7 @@ def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
                                 str(stack.dtype))
     if lp is None:
         raise de._fall("no anchor grid")
-    jit_a, jit_b, nc, mp, cap_rows, _jit_a_hi = jits
+    jit_a, jit_b, nc, mp, cap_rows, gmap_dev = jits
 
     import struct
     hdr = struct.Struct("<IIQ")
@@ -134,7 +134,7 @@ def _compress_batch_device_entropy(stack: np.ndarray, base: Config,
             nonlocal nxt_a
             while nxt_a < b and len(a_q) + len(b_q) < depth:
                 x = jnp.asarray(np.ascontiguousarray(stack[nxt_a]))
-                a_q[nxt_a] = jit_a(x)
+                a_q[nxt_a] = jit_a(x, gmap_dev)
                 nxt_a += 1
 
         def drain_oldest():
